@@ -1,0 +1,304 @@
+"""Shared flax building blocks for the SR model zoo (NHWC layout).
+
+Replaces the reference's torch common blocks (sres/model/common/{cnn,residual,
+upsample,unet}.py, sres/model/rcan/blocks.py) with TPU-idiomatic flax modules:
+convs lower to ``lax.conv_general_dilated`` in NHWC, upsampling tails are
+conv + pixel-shuffle (pure reshape/transpose — free for XLA to fuse), and
+initializers reproduce torch's Conv2d defaults (kaiming-uniform a=√5) so that
+training dynamics track the reference.
+"""
+from __future__ import annotations
+
+import math
+from typing import Any, Callable, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from sres_tpu.ops.shuffle import pixel_shuffle
+
+Dtype = Any
+
+# torch Conv2d default: kaiming_uniform(a=sqrt(5)) == U(±1/sqrt(fan_in)),
+# which is variance_scaling(1/3, fan_in, uniform).
+torch_kernel_init = jax.nn.initializers.variance_scaling(1.0 / 3.0, "fan_in", "uniform")
+
+
+def torch_bias_init(key, shape, dtype, fan_in: int):
+    bound = 1.0 / math.sqrt(fan_in) if fan_in > 0 else 0.0
+    return jax.random.uniform(key, shape, dtype, -bound, bound)
+
+
+class Conv(nn.Module):
+    """2D conv with torch-default init and 'same' padding for odd kernels
+    (reference default_conv: sres/model/common/cnn.py:8)."""
+    features: int
+    kernel_size: int = 3
+    stride: int = 1
+    use_bias: bool = True
+    dtype: Optional[Dtype] = None
+    padding: Any = None   # default: torch's k//2 zero padding
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        k = self.kernel_size
+        pad = self.padding if self.padding is not None else [(k // 2, k // 2)] * 2
+        fan_in = x.shape[-1] * k * k
+        return nn.Conv(
+            self.features, (k, k), strides=(self.stride, self.stride), padding=pad,
+            use_bias=self.use_bias, dtype=self.dtype,
+            kernel_init=torch_kernel_init,
+            bias_init=lambda key, shape, dt: torch_bias_init(key, shape, dt, fan_in),
+        )(x)
+
+
+class ConvTranspose(nn.Module):
+    """Transposed conv matching torch ConvTranspose2d(k, stride=s, padding=p):
+    out = (in-1)*s + k - 2p (used by DBPN/UNet/LapSRN up-projections)."""
+    features: int
+    kernel_size: int
+    stride: int
+    torch_padding: int = 0
+    use_bias: bool = True
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        k, s, p = self.kernel_size, self.stride, self.torch_padding
+        pad = k - 1 - p
+        fan_in = x.shape[-1] * k * k
+        return nn.ConvTranspose(
+            self.features, (k, k), strides=(s, s), padding=[(pad, pad), (pad, pad)],
+            use_bias=self.use_bias, dtype=self.dtype,
+            kernel_init=torch_kernel_init,
+            bias_init=lambda key, shape, dt: torch_bias_init(key, shape, dt, fan_in),
+        )(x)
+
+
+class PReLU(nn.Module):
+    """torch-style PReLU; channelwise=True == nn.PReLU(nchannels)."""
+    channelwise: bool = False
+    init: float = 0.25
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        shape = (x.shape[-1],) if self.channelwise else (1,)
+        alpha = self.param("alpha", lambda k, s: jnp.full(s, self.init, jnp.float32), shape)
+        alpha = alpha.astype(x.dtype)
+        return jnp.where(x >= 0, x, alpha * x)
+
+
+class Scale(nn.Module):
+    """Learnable scalar multiplier (reference ESRT blocks.Scale)."""
+    init: float = 1.0
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        s = self.param("scale", lambda k, sh: jnp.full(sh, self.init, jnp.float32), (1,))
+        return x * s.astype(x.dtype)
+
+
+class BatchNorm(nn.Module):
+    """BatchNorm with torch momentum semantics (torch m → flax momentum 1-m)."""
+    use_running_average: bool
+    torch_momentum: float = 0.1
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        return nn.BatchNorm(
+            use_running_average=self.use_running_average,
+            momentum=1.0 - self.torch_momentum, epsilon=1e-5, dtype=self.dtype,
+        )(x)
+
+
+class CALayer(nn.Module):
+    """Squeeze-excite channel attention (reference: sres/model/rcan/network.py:31).
+    Global average pool → 1×1 bottleneck → sigmoid gate."""
+    channels: int
+    reduction: int = 16
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        y = jnp.mean(x, axis=(1, 2), keepdims=True)
+        y = Conv(self.channels // self.reduction, 1, dtype=self.dtype)(y)
+        y = nn.relu(y)
+        y = Conv(self.channels, 1, dtype=self.dtype)(y)
+        return x * jax.nn.sigmoid(y)
+
+
+class RCAB(nn.Module):
+    """Residual channel-attention block (reference: rcan/network.py:50)."""
+    features: int
+    kernel_size: int = 3
+    reduction: int = 16
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        r = Conv(self.features, self.kernel_size, dtype=self.dtype)(x)
+        r = nn.relu(r)
+        r = Conv(self.features, self.kernel_size, dtype=self.dtype)(r)
+        r = CALayer(self.features, self.reduction, dtype=self.dtype)(r)
+        return x + r
+
+
+class ResidualGroup(nn.Module):
+    """nblocks × RCAB + trailing conv + group skip (reference: rcan/network.py:67)."""
+    features: int
+    kernel_size: int
+    reduction: int
+    nblocks: int
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        r = x
+        for _ in range(self.nblocks):
+            r = RCAB(self.features, self.kernel_size, self.reduction, dtype=self.dtype)(r)
+        r = Conv(self.features, self.kernel_size, dtype=self.dtype)(r)
+        return x + r
+
+
+class ResBlock(nn.Module):
+    """conv-relu-conv residual block ×res_scale (reference: common/residual.py:28)."""
+    features: int
+    kernel_size: int = 3
+    use_bias: bool = True
+    res_scale: float = 1.0
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        r = Conv(self.features, self.kernel_size, use_bias=self.use_bias, dtype=self.dtype)(x)
+        r = nn.relu(r)
+        r = Conv(self.features, self.kernel_size, use_bias=self.use_bias, dtype=self.dtype)(r)
+        return x + r * self.res_scale
+
+
+class BasicBlock(nn.Module):
+    """conv [+BN] [+act] (reference: common/cnn.py:11)."""
+    features: int
+    kernel_size: int = 3
+    use_bias: bool = False
+    batch_norm: bool = True
+    act: Optional[Callable] = nn.relu
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        y = Conv(self.features, self.kernel_size, use_bias=self.use_bias, dtype=self.dtype)(x)
+        if self.batch_norm:
+            y = BatchNorm(use_running_average=not train, dtype=self.dtype)(y)
+        if self.act is not None:
+            y = self.act(y)
+        return y
+
+
+class SPUpsample(nn.Module):
+    """Sub-pixel upsampler: per ×2 (or ×3) stage a conv expands channels r²×
+    followed by pixel-shuffle (reference: common/upsample.py:32 /
+    rcan/blocks.py:58). The conv is the MXU-heavy op; the shuffle is a free
+    layout transform under XLA."""
+    scale: int
+    features: int
+    use_bias: bool = True
+    act: Optional[str] = None
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        s = self.scale
+        if (s & (s - 1)) == 0:  # power of two: ×2 stages
+            for _ in range(int(math.log2(s))):
+                x = Conv(4 * self.features, 3, use_bias=self.use_bias, dtype=self.dtype)(x)
+                x = pixel_shuffle(x, 2)
+                x = self._act(x)
+        elif s == 3:
+            x = Conv(9 * self.features, 3, use_bias=self.use_bias, dtype=self.dtype)(x)
+            x = pixel_shuffle(x, 3)
+            x = self._act(x)
+        else:
+            raise NotImplementedError(f"SPUpsample scale {s}")
+        return x
+
+    def _act(self, x: jnp.ndarray) -> jnp.ndarray:
+        if self.act == "relu":
+            return nn.relu(x)
+        if self.act == "prelu":
+            return PReLU(channelwise=True, dtype=self.dtype)(x)
+        return x
+
+
+class UpsampleStage(nn.Module):
+    """'replicate' (conv + nearest-×s) or 'transpose' upsampling with PReLU
+    (reference: common/upsample.py:5 — SRDN's upscaler)."""
+    features: int
+    scale: int
+    method: str = "replicate"
+    kernel_size: int = 3
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        if self.method == "replicate":
+            y = Conv(self.features, self.kernel_size, dtype=self.dtype)(x)
+            b, h, w, c = y.shape
+            y = jnp.broadcast_to(y[:, :, None, :, None, :], (b, h, self.scale, w, self.scale, c))
+            y = y.reshape(b, h * self.scale, w * self.scale, c)
+        elif self.method == "transpose":
+            y = ConvTranspose(self.features, self.kernel_size, self.scale, dtype=self.dtype)(x)
+        else:
+            raise ValueError(f"Unknown upsample method {self.method}")
+        return PReLU(init=0.0, dtype=self.dtype)(y)
+
+
+class BNResidual(nn.Module):
+    """conv-BN-PReLU-conv-BN residual (reference: common/residual.py:5, SRDN)."""
+    features: int
+    kernel_size: int = 3
+    momentum: float = 0.5
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        y = Conv(self.features, self.kernel_size, dtype=self.dtype)(x)
+        y = BatchNorm(not train, self.momentum, dtype=self.dtype)(y)
+        y = PReLU(init=0.0, dtype=self.dtype)(y)
+        y = Conv(self.features, self.kernel_size, dtype=self.dtype)(y)
+        y = BatchNorm(not train, self.momentum, dtype=self.dtype)(y)
+        return x + y
+
+
+class DoubleConv(nn.Module):
+    """(conv-BN-relu)×2 (reference: common/unet.py:7)."""
+    features: int
+    mid_features: Optional[int] = None
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        mid = self.mid_features or self.features
+        x = Conv(mid, 3, use_bias=False, dtype=self.dtype)(x)
+        x = BatchNorm(not train, dtype=self.dtype)(x)
+        x = nn.relu(x)
+        x = Conv(self.features, 3, use_bias=False, dtype=self.dtype)(x)
+        x = BatchNorm(not train, dtype=self.dtype)(x)
+        return nn.relu(x)
+
+
+def avg_pool2(x: jnp.ndarray) -> jnp.ndarray:
+    return nn.avg_pool(x, (2, 2), strides=(2, 2))
+
+
+def max_pool2(x: jnp.ndarray) -> jnp.ndarray:
+    return nn.max_pool(x, (2, 2), strides=(2, 2))
+
+
+def nearest_up(x: jnp.ndarray, scale: int) -> jnp.ndarray:
+    b, h, w, c = x.shape
+    y = jnp.broadcast_to(x[:, :, None, :, None, :], (b, h, scale, w, scale, c))
+    return y.reshape(b, h * scale, w * scale, c)

@@ -1,0 +1,40 @@
+"""Date helpers (reference: sres/base/util/dates.py + util/config.py:146-157)."""
+from __future__ import annotations
+
+from datetime import date, datetime, timedelta
+from typing import List, Optional, Tuple, Union
+
+TimeType = Union[datetime, int]
+
+
+def drepr(d: TimeType) -> str:
+    return d.strftime("%m/%d:%H/%Y") if isinstance(d, datetime) else str(d)
+
+
+def date_list(start: Optional[datetime], num_days: int) -> List[datetime]:
+    if start is None or num_days <= 0:
+        return []
+    return [start + timedelta(days=i) for i in range(num_days)]
+
+
+def date_bounds(start: datetime, ndays: int) -> Tuple[datetime, datetime]:
+    return start, start + timedelta(days=ndays)
+
+
+def year_range(y0: int, y1: int) -> List[int]:
+    return list(range(y0, y1))
+
+
+def start_date(task) -> Optional[datetime]:
+    sd = task.get("start_date", None)
+    if sd is None:
+        return None
+    toks = [int(tok) for tok in sd.split("/")]
+    return datetime(month=toks[0], day=toks[1], year=toks[2])
+
+
+def dateindex(d: datetime, task) -> int:
+    sd = start_date(task)
+    dt: timedelta = d - sd
+    hours: int = (dt.seconds // 3600) + (dt.days * 24)
+    return hours + 1
