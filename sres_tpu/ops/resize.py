@@ -43,7 +43,8 @@ def _cubic_kernel(x: np.ndarray) -> np.ndarray:
 
 @lru_cache(maxsize=256)
 def resize_matrix(
-    in_size: int, out_size: int, mode: str = "bicubic", scale: Optional[float] = None
+    in_size: int, out_size: int, mode: str = "bicubic", scale: Optional[float] = None,
+    align_corners: bool = False,
 ) -> np.ndarray:
     """(out_size, in_size) float32 resampling matrix matching torch semantics.
 
@@ -61,12 +62,18 @@ def resize_matrix(
         m[np.arange(out_size), src_idx] = 1.0
         return m.astype(np.float32)
 
-    # Half-pixel centers (align_corners=False). torch's f32 CPU kernel
-    # computes the reciprocal scale once and evaluates source coordinates and
-    # filter weights in float32 (aten upsample kernels are templated on the
-    # input scalar type) — mirror both for bit-level parity.
-    rs = np.float32(1.0 / s)
-    src = ((dst.astype(np.float32) + np.float32(0.5)) * rs - np.float32(0.5)).astype(np.float32)
+    if align_corners:
+        # src = dst * (in-1)/(out-1) (torch align_corners=True; ESRT's
+        # F.interpolate calls use this, sres/model/esrt/network.py:147-155)
+        ac = np.float32((in_size - 1) / (out_size - 1)) if out_size > 1 else np.float32(0)
+        src = (dst.astype(np.float32) * ac).astype(np.float32)
+    else:
+        # Half-pixel centers (align_corners=False). torch's f32 CPU kernel
+        # computes the reciprocal scale once and evaluates source coordinates
+        # and filter weights in float32 (aten upsample kernels are templated
+        # on the input scalar type) — mirror both for bit-level parity.
+        rs = np.float32(1.0 / s)
+        src = ((dst.astype(np.float32) + np.float32(0.5)) * rs - np.float32(0.5)).astype(np.float32)
     m = np.zeros((out_size, in_size), dtype=np.float64)
     if mode in ("bilinear", "linear"):
         i0 = np.floor(src).astype(np.int64)
@@ -99,6 +106,7 @@ def resize(
     out_hw: Tuple[int, int],
     mode: str = "bicubic",
     scale: Optional[float] = None,
+    align_corners: bool = False,
 ) -> jnp.ndarray:
     """Resize NHWC (or NHW) ``x`` to ``out_hw`` spatial shape.
 
@@ -107,8 +115,8 @@ def resize(
     """
     h_in, w_in = x.shape[-3], x.shape[-2]
     h_out, w_out = out_hw
-    mh = jnp.asarray(resize_matrix(h_in, h_out, mode, scale))
-    mw = jnp.asarray(resize_matrix(w_in, w_out, mode, scale))
+    mh = jnp.asarray(resize_matrix(h_in, h_out, mode, scale, align_corners))
+    mw = jnp.asarray(resize_matrix(w_in, w_out, mode, scale, align_corners))
     y = x.astype(jnp.float32)
     # rows: (B,H,W,C) -> (B,Ho,W,C); cols: -> (B,Ho,Wo,C). Both are MXU matmuls.
     y = jnp.einsum("oh,bhwc->bowc", mh, y, precision="highest")

@@ -1,0 +1,72 @@
+"""Model-zoo construction + golden-shape tests (SURVEY.md §4 test pyramid).
+Every architecture must initialize from its YAML config and map a
+(B, 48, 48, C) LR batch to the (B, 192, 192, C_out) HR shape (×4 = 2×2
+stages), or a pyramid of per-stage shapes for multiscale models."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+import yaml
+from pathlib import Path
+
+from sres_tpu.models import build_model
+
+CONFIG_DIR = Path(__file__).resolve().parent.parent / "config" / "model"
+
+CASES = [
+    ("rcan-10-10-64", 1), ("edsr", 1), ("vdsr", 1), ("latticenet", 1),
+    ("dbpn", 1), ("srdn", 1), ("unet", 1), ("lapsrn", 1), ("mscnn", 1),
+    ("esrt", 1), ("rcan-10-10-64", 2),
+]
+
+
+def _load(name):
+    return yaml.safe_load((CONFIG_DIR / f"{name}.yaml").read_text())
+
+
+@pytest.mark.parametrize("cfg_name,nch", CASES)
+def test_forward_shapes(cfg_name, nch):
+    mcfg = _load(cfg_name)
+    # shrink the heavyweight models for test speed
+    if mcfg["name"] in ("rcan",):
+        mcfg.update(nlayers=2, nblocks=2)
+    if mcfg["name"] in ("edsr", "srdn"):
+        mcfg.update(nlayers=2)
+    if mcfg["name"] in ("unet", "mscnn"):
+        mcfg.update(nlayers=2)  # UNet depth: input must divide 2^depth
+    if mcfg["name"] == "dbpn":
+        mcfg.update(depth=2)
+    size = 24 if mcfg["name"] != "esrt" else 16  # esrt needs H*W % 4 == 0
+    tf = np.zeros((2, 4), np.float32) if mcfg["name"] == "unet" else None
+    model = build_model(mcfg, nchannels_in=nch, nchannels_out=nch,
+                        precision="f32", temporal_features=tf)
+    x = jnp.zeros((2, size, size, nch), jnp.float32)
+    kwargs = dict(temporal=jnp.asarray(tf)) if tf is not None else {}
+    variables = model.init(jax.random.PRNGKey(0), x, train=False, **kwargs)
+    if "batch_stats" in variables:
+        y, _ = model.apply(variables, x, train=False, **kwargs, mutable=["batch_stats"])
+    else:
+        y = model.apply(variables, x, train=False, **kwargs)
+    if isinstance(y, tuple):  # multiscale pyramid
+        assert [t.shape[1] for t in y] == [size * 2, size * 4]
+        assert y[-1].shape == (2, size * 4, size * 4, nch)
+    else:
+        assert y.shape == (2, size * 4, size * 4, nch)
+        assert y.dtype == jnp.float32
+
+
+def test_param_count_rcan_canonical():
+    """RCAN-10-20-64 single-channel parameter count — the reference logs
+    ntotal_params (dual_trainer.py:343); pin it for regression."""
+    mcfg = _load("rcan-10-20-64")
+    model = build_model(mcfg, 1, 1, precision="f32")
+    v = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 48, 48, 1)), train=False)
+    n = sum(int(np.prod(p.shape)) for p in jax.tree.leaves(v["params"]))
+    # head 640 + 10 groups × (20 RCABs × (2×36928 + CA 4192) + 36928)
+    # + body conv 36928 + pixel-shuffle tail 2×147712 + out conv 577
+    assert n == 16_312_449, n
+
+
+def test_unknown_model_raises():
+    with pytest.raises(KeyError):
+        build_model({"name": "nope"}, 1, 1)
