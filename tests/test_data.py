@@ -1,0 +1,156 @@
+"""Data-layer tests: tiling, NaN filtering, six norm schemes + denorm
+round-trip, xyflip, SWOT binary reader on a generated fixture, batch
+iteration, and inference NetCDF round-trip (SURVEY.md §4)."""
+import numpy as np
+import pytest
+
+from sres_tpu.config import ConfigContext, cfg
+from sres_tpu.data.batch import BatchDataset, xyflip
+from sres_tpu.data.norm import denorm, normalize_batch
+from sres_tpu.data.swot import assemble_hemispheres, invert_template, mds2d
+from sres_tpu.data.tiles import TileGrid, TileIterator
+from sres_tpu.util.larray import LArray
+
+
+def synth_ctx(tmp_path, **over):
+    ConfigContext.set_defaults(platform="local", task="synthetic-tiles-48",
+                               dataset="synthetic", pipeline="sres")
+    over.setdefault("platform.root", str(tmp_path))
+    over.setdefault("dataset.image_size", {"y": 576, "x": 384})
+    over.setdefault("dataset.ntimes", 3)
+    return ConfigContext("sres", model="edsr", **over)
+
+
+# ---------------------------------------------------------------- norm schemes
+@pytest.mark.parametrize("scheme", ["lnorm", "lscale"])
+def test_local_norm_denorm_roundtrip(scheme):
+    rng = np.random.default_rng(0)
+    batch = rng.normal(10.0, 3.0, (4, 2, 8, 8)).astype(np.float32)
+    normed, stats = normalize_batch(batch, scheme, (0, 4))
+    if scheme == "lnorm":
+        assert abs(normed.mean()) < 1e-5 and abs(normed.std() - 1) < 1e-4
+    else:
+        assert normed.min() >= 0 and normed.max() <= 1.0 + 1e-6
+    back = denorm(normed, stats)
+    np.testing.assert_allclose(back, batch, rtol=1e-4, atol=1e-4)
+
+
+def test_tnorm_uses_sidecar_tile_slice():
+    rng = np.random.default_rng(1)
+    batch = rng.normal(size=(3, 1, 4, 4)).astype(np.float32)
+    sidecar = {"SST": np.stack([np.arange(10, dtype=np.float64),          # mean
+                                np.ones(10) * 4.0,                         # var
+                                np.full(10, 50.0), np.full(10, -50.0)], axis=1)}
+    normed, stats = normalize_batch(batch, "tnorm", (2, 5), sidecar, None, ["SST"])
+    expect = (batch[:, 0] - np.array([2, 3, 4]).reshape(-1, 1, 1)) / 2.0
+    np.testing.assert_allclose(normed[:, 0], expect, rtol=1e-5)
+    np.testing.assert_allclose(denorm(normed, stats), batch, rtol=1e-4, atol=1e-5)
+
+
+def test_gnorm_gscale():
+    batch = np.ones((2, 1, 4, 4), np.float32) * 7.0
+    gstats = {"SST": np.array([5.0, 4.0, 9.0, 1.0])}  # mean, var, max, min
+    n1, _ = normalize_batch(batch, "gnorm", (0, 2), None, gstats, ["SST"])
+    np.testing.assert_allclose(n1, (7 - 5) / 2.0)
+    n2, _ = normalize_batch(batch, "gscale", (0, 2), None, gstats, ["SST"])
+    np.testing.assert_allclose(n2, (7 - 1) / 8.0)
+
+
+# ------------------------------------------------------------------ xyflip
+def test_xyflip_deterministic_and_invertible():
+    data = np.arange(2 * 1 * 4 * 4, dtype=np.float32).reshape(2, 1, 4, 4)
+    arr = LArray(data, ["tiles", "channels", "y", "x"])
+    rng = np.random.default_rng(5)
+    out = xyflip(arr, rng, enabled=True)
+    assert 0 <= out.attrs["xyflip"] < 8
+    assert out.data.shape == data.shape
+    off = xyflip(arr, rng, enabled=False)
+    assert off.attrs["xyflip"] == 0
+    np.testing.assert_array_equal(off.data, data)
+
+
+# ---------------------------------------------------------------- mds2d / swot
+def test_mds2d_shapes_and_assembly():
+    nx = 8
+    d = np.arange(13 * nx * nx, dtype=np.float32)
+    east, west = mds2d(d)
+    assert east.shape == (3 * nx, 2 * nx)
+    assert west.shape == (2 * nx, 3 * nx)
+    panel = assemble_hemispheres(east, west)
+    assert panel.shape == (3 * nx, 4 * nx)
+
+
+def test_invert_template():
+    assert invert_template("SST.000*.shrunk", "SST.0007.shrunk") == 7
+    assert invert_template("SST.000*.shrunk", "SSS.0007.shrunk") is None
+
+
+def test_swot_loader_end_to_end(tmp_path):
+    from sres_tpu.data.swot import SWOTRawDataLoader
+    from sres_tpu.data.synthetic import write_swot_fixture
+    root = str(tmp_path / "swotdata")
+    write_swot_fixture(root, nx=32, ntimes=3)
+    ConfigContext.set_defaults(platform="local", task="SST-tiles-48",
+                               dataset="swot", pipeline="sres")
+    over = {"platform.root": str(tmp_path), "dataset.dataset_root": root,
+            "task.tile_size": {"x": 8, "y": 8}}
+    with ConfigContext("sres", model="edsr", **over):
+        loader = SWOTRawDataLoader(cfg().task)
+        idxs = loader.get_dset_time_indices()
+        assert idxs == [0, 1, 2]
+        ts = loader.load_timeslice(0)
+        # region (96, 128), HR tile 32x32 → 3x4 grid = 12 candidate tiles
+        assert ts.dims == ("tiles", "channels", "y", "x")
+        assert ts.shape[2:] == (32, 32)
+        assert np.isfinite(ts.data).all()
+        batch = loader.select_batch((0, 4))
+        assert batch.shape[0] <= 4 and "mean" in batch.attrs
+
+
+# ------------------------------------------------------------ tiles + dataset
+def test_tilegrid_geometry(tmp_path):
+    with synth_ctx(tmp_path):
+        grid = TileGrid()
+        assert grid.get_full_tile_size() == dict(x=192, y=192)
+        ishape = dict(c=1, y=576, x=384)
+        assert grid.get_grid_shape(image_shape=ishape) == dict(x=2, y=3)
+        assert grid.get_active_region(image_shape=ishape)["y"] == (0, 576)
+
+
+def test_synthetic_batchdataset(tmp_path):
+    over = {"task.batch_size": 4, "task.tile_size": {"x": 24, "y": 24},
+            "dataset.nan_fraction": 0.1}
+    with synth_ctx(tmp_path, **over):
+        ds = BatchDataset(cfg().task, seed=0)
+        times = ds.get_batch_time_coords()
+        assert sorted(times) == [0, 1, 2]
+        ts = ds.load_timeslice(times[0])
+        assert ts.sizes["y"] == 96 and ts.shape[0] >= 1
+        it = TileIterator.get_iterator(ntiles=ts.shape[0], randomize=True)
+        nseen = 0
+        for ctile in it:
+            batch = ds.get_batch_array(ctile, times[0])
+            if batch is None:
+                break
+            assert batch.data.shape[1:] == (1, 96, 96)
+            assert np.isfinite(batch.data).all()
+            nseen += batch.shape[0]
+        assert nseen == ts.shape[0]
+
+
+def test_inference_io_roundtrip(tmp_path):
+    from sres_tpu.data.inference_io import (ResultStructure, load_inference_results,
+                                            save_inference_results)
+    with synth_ctx(tmp_path):
+        rng = np.random.default_rng(0)
+        results = {
+            "input": LArray(rng.normal(size=(4, 48, 48)).astype(np.float32), ["tiles", "y", "x"]),
+            "target": LArray(rng.normal(size=(4, 192, 192)).astype(np.float32), ["tiles", "y", "x"]),
+            "model": LArray(rng.normal(size=(4, 192, 192)).astype(np.float32), ["tiles", "y", "x"]),
+        }
+        losses = dict(model=0.125, interpolated=0.25)
+        save_inference_results("SST", ResultStructure.Tiles, results, 3, losses)
+        loaded, lls = load_inference_results("SST", ResultStructure.Tiles, 3)
+        assert lls == losses
+        np.testing.assert_allclose(loaded["target"].data, results["target"].data)
+        assert loaded["input"].dims == ("tiles", "y", "x")
