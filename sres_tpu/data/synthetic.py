@@ -31,8 +31,14 @@ def _field(rng: np.random.Generator, ny: int, nx: int, t: float, ncomp: int = 8)
 
 
 def _land_mask(rng: np.random.Generator, ny: int, nx: int, frac: float) -> np.ndarray:
-    """Static smooth blob mask covering ~frac of the region."""
-    base = _field(rng, ny, nx, 0.0, ncomp=4)
+    """Static low-frequency blob mask covering ~frac of the region (a couple
+    of large contiguous 'continents' so plenty of tiles stay land-free)."""
+    yy, xx = np.meshgrid(np.linspace(0, 1, ny), np.linspace(0, 1, nx), indexing="ij")
+    base = np.zeros((ny, nx), np.float32)
+    for _ in range(3):
+        fy, fx = rng.uniform(0.5, 2.0, 2)
+        phase = rng.uniform(0, 2 * np.pi)
+        base += np.sin(2 * np.pi * (fy * yy + fx * xx) + phase).astype(np.float32)
     thresh = np.quantile(base, 1.0 - frac)
     return base > thresh
 
