@@ -1,0 +1,131 @@
+"""Checkpoint manager: two rolling slots (train = latest, valid = best-val)
+with .backup copies and epoch/itime resume metadata
+(reference: sres/controller/checkpoints.py).
+
+TPU-native difference: writes are asynchronous — the device→host fetch is the
+only synchronous part; serialization + disk IO run on a worker thread so the
+ICI-synchronized step loop never stalls on the filesystem (SURVEY.md §5.4).
+"""
+from __future__ import annotations
+
+import os
+import queue
+import shutil
+import threading
+from typing import Any, Dict, Optional
+
+import jax
+import numpy as np
+from flax import serialization
+
+from sres_tpu.config import cfg
+from sres_tpu.data.inference_io import TSet
+from sres_tpu.trainer.step import SRTrainState
+from sres_tpu.util.logging import lgm
+
+
+class _AsyncWriter:
+    def __init__(self):
+        self._q: "queue.Queue" = queue.Queue()
+        self._thread: Optional[threading.Thread] = None
+
+    def _ensure(self):
+        if self._thread is None or not self._thread.is_alive():
+            self._thread = threading.Thread(target=self._run, daemon=True)
+            self._thread.start()
+
+    def _run(self):
+        while True:
+            item = self._q.get()
+            if item is None:
+                return
+            path, payload = item
+            try:
+                if os.path.isfile(path):
+                    shutil.copyfile(path, path + ".backup")
+                tmp = path + ".tmp"
+                with open(tmp, "wb") as f:
+                    f.write(payload)
+                os.replace(tmp, path)
+            except Exception as e:  # pragma: no cover
+                lgm().exception(f"checkpoint write failed: {e}")
+            finally:
+                self._q.task_done()
+
+    def submit(self, path: str, payload: bytes):
+        self._ensure()
+        self._q.put((path, payload))
+
+    def flush(self):
+        self._q.join()
+
+
+class CheckpointManager:
+    def __init__(self, async_write: Optional[bool] = None):
+        if async_write is None:
+            async_write = bool(cfg().pipeline.get("async_checkpoint", True))
+        self.async_write = async_write
+        self._writer = _AsyncWriter()
+
+    @classmethod
+    def checkpoint_path(cls, tset: TSet, backup: bool = False) -> str:
+        vtset = TSet.Validation if tset == TSet.Test else tset
+        path = f"{cfg().platform.results}/checkpoints/{cfg().task.training_version}.{vtset.value}"
+        if backup:
+            path += ".backup"
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        return path + ".ckpt"
+
+    def save_checkpoint(self, state: SRTrainState, epoch: int, itime: int,
+                        tset: TSet, loss: float, interp_loss: float) -> str:
+        host_state = jax.device_get(state)
+        payload = serialization.msgpack_serialize({
+            "epoch": np.int64(epoch), "itime": np.int64(itime),
+            "loss": np.float64(loss), "interp_loss": np.float64(interp_loss),
+            "state": serialization.to_state_dict(host_state),
+        })
+        path = self.checkpoint_path(tset)
+        if self.async_write:
+            self._writer.submit(path, payload)
+        else:
+            if os.path.isfile(path):
+                shutil.copyfile(path, self.checkpoint_path(tset, backup=True))
+            with open(path, "wb") as f:
+                f.write(payload)
+        lgm().log(f" *** SAVE {tset.name} checkpoint, loss={loss:.5f} ({interp_loss:.5f}) → {path}")
+        return path
+
+    def load_checkpoint(self, state_template: SRTrainState, tset: TSet = TSet.Train,
+                        update_model: bool = True, **_) -> Optional[Dict[str, Any]]:
+        """Returns {'epoch','itime','loss','state'} (state restored into the
+        template's pytree structure) or {} when no checkpoint exists."""
+        self.flush()
+        path = self.checkpoint_path(tset)
+        if not os.path.exists(path):
+            lgm().log(f"No checkpoint file found at '{path}': starting from scratch.")
+            return {}
+        try:
+            with open(path, "rb") as f:
+                blob = serialization.msgpack_restore(f.read())
+        except Exception as e:
+            lgm().log(f"Unable to load checkpoint {path}: {e}", display=True)
+            return None
+        out: Dict[str, Any] = {
+            "epoch": int(blob["epoch"]), "itime": int(blob["itime"]),
+            "loss": float(blob["loss"]), "interp_loss": float(blob.get("interp_loss", 0.0)),
+        }
+        if update_model:
+            out["state"] = serialization.from_state_dict(state_template, blob["state"])
+        lgm().log(f"Loaded model checkpoint from {path}", display=True)
+        return out
+
+    def clear_checkpoints(self) -> None:
+        self.flush()
+        for tset in (TSet.Train, TSet.Validation):
+            for backup in (False, True):
+                p = self.checkpoint_path(tset, backup)
+                if os.path.exists(p):
+                    os.remove(p)
+
+    def flush(self) -> None:
+        self._writer.flush()

@@ -1,0 +1,405 @@
+"""ModelTrainer — the training/eval engine (reference:
+sres/controller/dual_trainer.py).
+
+Orchestration (epochs → timeslices → tile batches, checkpoint/resume,
+loss CSV, best-val tracking, image assembly) stays in Python; every per-batch
+computation — LR synthesis, forward, loss, backward, optimizer update,
+interpolation baseline — runs inside one donated, mesh-sharded jitted step
+(trainer/step.py). Per-batch metrics stay on device; the host syncs once per
+timeslice when recording losses, so the step stream never blocks on Python.
+
+Ragged final batches (NaN-filtered tile counts vary per timeslice,
+SURVEY.md §7) are padded to a fixed size with 0-weight tiles; the pad size is
+rounded up to the mesh's data-axis size so every batch shards evenly.
+"""
+from __future__ import annotations
+
+import math
+import time
+from typing import Any, Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from sres_tpu.config import ConfigContext, cfg
+from sres_tpu.data.batch import BatchDataset
+from sres_tpu.data.inference_io import TSet
+from sres_tpu.data.norm import denorm
+from sres_tpu.data.tiles import TileIterator, batchDomain
+from sres_tpu.models import build_model
+from sres_tpu.parallel.mesh import get_mesh, pad_to_multiple
+from sres_tpu.trainer.checkpoints import CheckpointManager
+from sres_tpu.trainer.results import ResultsAccumulator
+from sres_tpu.trainer.step import (SRTrainState, build_eval_step, build_optimizer,
+                                   build_train_step, init_state, make_step_config)
+from sres_tpu.util.larray import LArray
+from sres_tpu.util.logging import lgm
+
+TimeType = Any
+
+
+def ttsplit_times(times: List[TimeType]) -> Dict[TSet, List[TimeType]]:
+    """Contiguous train/valid/test split by the task fractions
+    (reference: dual_trainer.py:28-36)."""
+    ttsplit = cfg().task.ttsplit
+    start, result, nt = 0, {}, len(times)
+    for tset_name, frac in ttsplit.items():
+        end = start + int(float(frac) * nt)
+        result[TSet(tset_name)] = times[start:end]
+        start = end
+    return result
+
+
+class ModelTrainer:
+    def __init__(self, cc: ConfigContext, seed: int = 4456):
+        self.context = cc
+        self.results_accum = ResultsAccumulator(cc)
+        self.domain = batchDomain.from_config(cfg().task.get("batch_domain", "tiles"))
+        self.target_variables: List[str] = list(cfg().task.target_variables)
+        self.input_variables: List[str] = list(cfg().task.input_variables)
+        self.downscale_factors = list(cfg().model.downscale_factors)
+        self.scale_factor = math.prod(self.downscale_factors)
+        self.model_name: str = cfg().model.name
+
+        self.mesh = get_mesh(dict(cfg().pipeline.get("mesh", {"data": -1})))
+        self.ndata = self.mesh.shape["data"]
+        self.batch_size: int = cfg().task.batch_size
+        self.pad_size: int = pad_to_multiple(self.batch_size, self.ndata)
+
+        precision = cfg().pipeline.get("precision", "bf16")
+        self.model = build_model(cfg().model, len(self.input_variables),
+                                 len(self.target_variables), precision=precision)
+        self.optimizer = build_optimizer(cfg().task)
+
+        tsz = cfg().task.tile_size
+        sample_lr = jnp.zeros((1, tsz["y"], tsz["x"], len(self.input_variables)), jnp.float32)
+        self.state, has_bn = init_state(self.model, self.optimizer, sample_lr, seed)
+        self.step_config = make_step_config(cfg().task, cfg().model, has_bn)
+        self._train_step = build_train_step(self.model, self.optimizer, self.step_config, self.mesh)
+        self._eval_step = build_eval_step(self.model, self.step_config, self.mesh)
+
+        self.checkpoint_manager = CheckpointManager()
+        self.dataset = BatchDataset(cfg().task, seed=seed)
+        self.data_timestamps: Dict[TSet, List[TimeType]] = {}
+        self.validation_loss = float("inf")
+        self.train_state_meta: Dict[str, Any] = {}
+        self.time_index: int = -1
+        self.tile_index: int = -1
+        self.current_losses: Dict[str, float] = {}
+        # merged eval result tensors per tset (reference: dual_trainer.py:136-139)
+        self.input: Dict[TSet, Optional[np.ndarray]] = {}
+        self.target: Dict[TSet, Optional[np.ndarray]] = {}
+        self.product: Dict[TSet, Optional[np.ndarray]] = {}
+        self.interp: Dict[TSet, Optional[np.ndarray]] = {}
+
+    # ------------------------------------------------------------- utilities
+    @property
+    def nparams(self) -> int:
+        return sum(int(np.prod(p.shape)) for p in jax.tree.leaves(self.state.params))
+
+    def get_dataset(self) -> BatchDataset:
+        return self.dataset
+
+    def get_dset_time_indices(self) -> List[TimeType]:
+        return self.dataset.get_dset_time_indices()
+
+    def init_data_timestamps(self) -> None:
+        if not self.data_timestamps:
+            ctimes = self.dataset.get_batch_time_coords()
+            self.data_timestamps = ttsplit_times(ctimes)
+            lgm().log(f"init_data_timestamps: {len(ctimes)} times", display=True)
+
+    def _pad_batch(self, batch: LArray) -> Tuple[np.ndarray, np.ndarray, int]:
+        """(B,C,H,W) LArray → fixed-size padded arrays + valid count."""
+        data = batch.data
+        nvalid = data.shape[0]
+        if nvalid < self.pad_size:
+            pad = np.zeros((self.pad_size - nvalid,) + data.shape[1:], data.dtype)
+            data = np.concatenate([data, pad], axis=0)
+        weight = np.zeros((self.pad_size,), np.float32)
+        weight[:nvalid] = 1.0
+        return data, weight, nvalid
+
+    def _metrics_to_host(self, metrics_list: List[Dict[str, jnp.ndarray]]) -> Dict[str, np.ndarray]:
+        """One sync point: device metric scalars → host arrays."""
+        if not metrics_list:
+            return {}
+        stacked = jax.device_get(metrics_list)
+        return {k: np.array([m[k] for m in stacked]) for k in stacked[0]}
+
+    # ------------------------------------------------------------------ train
+    def train(self, nepochs: int, refresh_state: bool = False, **kwargs) -> Dict[str, float]:
+        if nepochs == 0:
+            return {}
+        seed = kwargs.get("seed", 4456)
+        interp_loss = kwargs.get("interp_loss", False)
+        self.dataset.reseed(seed)
+        ckpt_period = int(cfg().pipeline.get("checkpoint_period", 1))
+        epoch0, itime0, epoch_loss = 1, 0, 0.0
+        train_start = time.time()
+
+        if refresh_state:
+            self.checkpoint_manager.clear_checkpoints()
+            self.results_accum.refresh_state()
+            lgm().log(" *** No checkpoint loaded: training from scratch *** ", display=True)
+        else:
+            meta = self.checkpoint_manager.load_checkpoint(self.state, TSet.Train, update_model=True)
+            if meta:
+                self.state = meta.pop("state", self.state)
+                self.results_accum.load_results()
+                epoch0 = meta.get("epoch", 1)
+                itime0 = meta.get("itime", 0)
+                epoch_loss = meta.get("loss", float("inf"))
+                nepochs += epoch0
+
+        self.init_data_timestamps()
+        interp_epoch_loss = 0.0
+        for epoch in range(epoch0, nepochs):
+            epoch_start = time.time()
+            train_times = self.data_timestamps[TSet.Train]
+            nts = len(train_times)
+            lgm().log(f" ----- Epoch {epoch}/{nepochs} nts={nts} ----- ", display=True)
+            for itime in range(itime0, nts):
+                ctime = train_times[itime]
+                tile_iter = self._tile_iterator(ctime, randomize=True)
+                metrics_list = []
+                for ctile in iter(tile_iter):
+                    batch = self.dataset.get_batch_array(ctile, ctime)
+                    if batch is None:
+                        break
+                    hr, weight, nvalid = self._pad_batch(batch)
+                    self.state, metrics = self._train_step(self.state, hr, weight)
+                    metrics_list.append(metrics)
+                m = self._metrics_to_host(metrics_list)
+                if len(m.get("sloss", ())) == 0:
+                    continue
+                epoch_loss = float(np.mean(m["sloss"]))
+                interp_epoch_loss = float(np.mean(m["interp_sloss"]))
+                ratio = 100.0 * epoch_loss / max(interp_epoch_loss, 1e-12)
+                lgm().log(
+                    f" ** <{self.model_name}> TRAIN E({epoch:3}/{nepochs}) TIME[{itime:3}:{ctime}] "
+                    f"-> Loss= {epoch_loss*1000:6.2f} ({interp_epoch_loss*1000:6.2f}): {ratio:.2f}%",
+                    display=True)
+                if (itime + 1) % ckpt_period == 0 or itime == nts - 1:
+                    self.checkpoint_manager.save_checkpoint(
+                        self.state, epoch, itime, TSet.Train, epoch_loss, interp_epoch_loss)
+                self.results_accum.record_losses(
+                    TSet.Train, epoch - 1 + itime / max(nts, 1), epoch_loss,
+                    interp_epoch_loss, flush=((itime + 1) % 32 == 0))
+
+            epoch_time = (time.time() - epoch_start) / 60.0
+            lgm().log(f"Epoch Execution time: {epoch_time:.1f} min, train-loss: {epoch_loss:.4f}",
+                      display=True)
+            self.record_eval(epoch, {TSet.Train: epoch_loss}, TSet.Validation)
+            itime0 = 0
+
+        train_time = time.time() - train_start
+        self.record_eval(nepochs, {}, TSet.Test)
+        self.results_accum.flush()
+        self.checkpoint_manager.flush()
+        lgm().log(f" -------> Training model with {self.nparams} wts took {train_time/60:.2f} min",
+                  display=True)
+        self.current_losses = dict(prediction=epoch_loss)
+        return self.current_losses
+
+    def _tile_iterator(self, ctime: TimeType, randomize: bool = False) -> TileIterator:
+        if self.domain == batchDomain.Tiles:
+            timeslice = self.dataset.load_timeslice(ctime)
+            return TileIterator.get_iterator(ntiles=timeslice.sizes["tiles"], randomize=randomize)
+        return TileIterator.get_iterator(randomize=randomize)
+
+    def record_eval(self, epoch: int, losses: Dict[TSet, float], tset: TSet, **kwargs):
+        if float(cfg().task.ttsplit.get(tset.value, 0.0)) > 0.0:
+            _, eval_losses = self.evaluate(tset, update_model=False, **kwargs)
+            if eval_losses:
+                self.results_accum.record_losses(
+                    tset, epoch, eval_losses["model"], eval_losses["interpolated"])
+                self.results_accum.flush()
+            return eval_losses
+
+    # ---------------------------------------------------------------- evaluate
+    def evaluate(self, tset: TSet, **kwargs) -> Tuple[Dict[str, LArray], Dict[str, float]]:
+        """Eval over a tset's timeslices; merges per-batch result tensors and
+        rolls the best-validation checkpoint (reference: dual_trainer.py:482)."""
+        assert tset in (TSet.Validation, TSet.Test), f"Invalid eval tset: {tset.name}"
+        self.time_index = kwargs.get("time_index", self.time_index)
+        self.tile_index = kwargs.get("tile_index", self.tile_index)
+        update_checkpoint = kwargs.get("update_checkpoint", True)
+        update_model = kwargs.get("update_model", False)
+        epoch = 0
+        if update_model or update_checkpoint:
+            meta = self.checkpoint_manager.load_checkpoint(self.state, TSet.Validation,
+                                                           update_model=update_model)
+            if meta is None:
+                lgm().log("Error loading checkpoint file, skipping evaluation.", display=True)
+                return {}, {}
+            if meta:
+                if update_model and "state" in meta:
+                    self.state = meta["state"]
+                self.validation_loss = meta.get("loss", float("inf"))
+                epoch = meta.get("epoch", 0)
+        self.init_data_timestamps()
+
+        self.clear_results(tset)
+        model_losses, interp_losses = [], []
+        for itime, ctime in enumerate(self.data_timestamps.get(tset, [])):
+            if self.time_index >= 0 and itime != self.time_index:
+                continue
+            tile_iter = self._tile_iterator(ctime)
+            for itile, ctile in enumerate(iter(tile_iter)):
+                if not self._tile_in_batch(itile, ctile):
+                    continue
+                batch = self.dataset.get_batch_array(ctile, ctime)
+                if batch is None:
+                    break
+                hr, weight, nvalid = self._pad_batch(batch)
+                metrics, outputs = self._eval_step(self.state, hr, weight)
+                m = jax.device_get(metrics)
+                model_losses.append(float(m["sloss"]))
+                interp_losses.append(float(m["interp_sloss"]))
+                self._merge_results(tset, outputs, nvalid)
+                if self.tile_index >= 0:
+                    break
+            if self.time_index >= 0:
+                break
+
+        if not model_losses:
+            return {}, {}
+        model_loss = float(np.mean(model_losses))
+        interp_loss = float(np.mean(interp_losses))
+        if tset == TSet.Validation and update_checkpoint:
+            if model_loss < self.validation_loss or self.validation_loss == 0.0:
+                self.checkpoint_manager.save_checkpoint(
+                    self.state, epoch, 0, TSet.Validation, model_loss, interp_loss)
+                self.validation_loss = model_loss
+        losses = dict(model=model_loss, interpolated=interp_loss)
+        results = {k: self._to_xa(getattr(self, k)[tset], upscaled=(k == "input"))
+                   for k in ("input", "target", "product", "interp")}
+        results = dict(input=results["input"], target=results["target"],
+                       model=results["product"], interpolated=results["interp"])
+        lgm().log(f" -------> Eval {tset.value}: model loss={model_loss:.4f} "
+                  f"interp={interp_loss:.4f}", display=True)
+        return results, losses
+
+    def _tile_in_batch(self, itile: int, ctile) -> bool:
+        if self.tile_index < 0:
+            return True
+        if self.domain == batchDomain.Time:
+            return self.tile_index == itile
+        return ctile["start"] <= self.tile_index < ctile["end"]
+
+    def clear_results(self, tset: TSet) -> None:
+        for d in (self.input, self.target, self.product, self.interp):
+            d[tset] = None
+
+    def _merge_results(self, tset: TSet, outputs, nvalid: int) -> None:
+        lr, out, tar, interp = [np.asarray(o)[:nvalid] for o in jax.device_get(outputs)]
+        for store, arr in ((self.input, lr), (self.target, tar),
+                           (self.product, out), (self.interp, interp)):
+            prev = store.get(tset)
+            store[tset] = arr if prev is None else np.concatenate([prev, arr], axis=0)
+
+    def _to_xa(self, data: Optional[np.ndarray], upscaled: bool = False) -> Optional[LArray]:
+        if data is None:
+            return None
+        cscale = self.scale_factor if upscaled else 1
+        coords = dict(tiles=np.arange(data.shape[0]), channels=self.target_variables
+                      if data.shape[1] == len(self.target_variables) else self.input_variables)
+        coords["y"] = np.arange(0, data.shape[2] * cscale, cscale)
+        coords["x"] = np.arange(0, data.shape[3] * cscale, cscale)
+        return LArray(data.astype(np.float32), ["tiles", "channels", "y", "x"], coords)
+
+    # ------------------------------------------------------------ process_image
+    def process_image(self, tset: TSet, itime: int, **kwargs
+                      ) -> Tuple[Dict[str, Dict[str, LArray]], Dict[str, Dict[str, float]]]:
+        """Full-timeslice inference + denorm + region re-assembly
+        (reference: dual_trainer.py:396-447)."""
+        cfg().task["xyflip"] = False
+        update_model = kwargs.get("update_model", True)
+        meta = self.checkpoint_manager.load_checkpoint(self.state, TSet.Validation,
+                                                       update_model=update_model)
+        if meta is None:
+            lgm().log("Error loading checkpoint file, skipping evaluation.", display=True)
+            return {}, {}
+        if meta and update_model and "state" in meta:
+            self.state = meta["state"]
+        self.init_data_timestamps()
+        ctime = self.data_timestamps[TSet.Train][itime]
+        timeslice = self.dataset.load_timeslice(ctime)
+        cvar = kwargs.get("var", None)
+        output_vars = [cvar] if cvar is not None else self.target_variables
+
+        batches, model_losses, interp_losses = [], [], []
+        tile_iter = self._tile_iterator(ctime)
+        for ctile in iter(tile_iter):
+            batch = self.dataset.get_batch_array(ctile, ctime)
+            if batch is None:
+                break
+            hr, weight, nvalid = self._pad_batch(batch)
+            metrics, outputs = self._eval_step(self.state, hr, weight)
+            m = jax.device_get(metrics)
+            model_losses.append(float(m["sloss"]))
+            interp_losses.append(float(m["interp_sloss"]))
+            lr, out, tar, interp = [np.asarray(o)[:nvalid] for o in jax.device_get(outputs)]
+            attrs = batch.attrs
+            batches.append(dict(input=denorm(lr, attrs), target=denorm(tar, attrs),
+                                interpolated=denorm(interp, attrs), model=denorm(out, attrs)))
+
+        images, losses = {}, {}
+        tile_ids = np.asarray(timeslice.coords["tiles"])
+        grid_shape = timeslice.attrs["grid_shape"]
+        for ivar, vname in enumerate(output_vars):
+            images[vname] = self.assemble_images(batches, ivar, tile_ids, grid_shape)
+            losses[vname] = dict(model=float(np.mean(model_losses)),
+                                 interpolated=float(np.mean(interp_losses)))
+        return images, losses
+
+    def assemble_images(self, batches: List[Dict[str, np.ndarray]], ivar: int,
+                        tile_ids: np.ndarray, grid_shape: Dict[str, int]
+                        ) -> Dict[str, LArray]:
+        """tile-id → (row, col) mosaic with NaN fill for dropped tiles
+        (reference: dual_trainer.py:449-480)."""
+        assembled: Dict[str, LArray] = {}
+        itypes = list(batches[0].keys()) if batches else []
+        for image_type in itypes:
+            tidx = 0
+            block_grid: Optional[List[List[np.ndarray]]] = None
+            for b in batches:
+                arr = b[image_type][:, ivar]
+                tile_shape = list(arr.shape[-2:])
+                if block_grid is None:
+                    empty = np.full(tile_shape, np.nan, np.float32)
+                    block_grid = [[empty] * grid_shape["x"] for _ in range(grid_shape["y"])]
+                for i in range(arr.shape[0]):
+                    tid = int(tile_ids[tidx])
+                    ty, tx = tid // grid_shape["x"], tid % grid_shape["x"]
+                    block_grid[ty][tx] = arr[i]
+                    tidx += 1
+            image = np.block(block_grid)
+            coords = {cn: np.arange(0.0, 100.0, 100.0 / image.shape[ic])
+                      for ic, cn in enumerate(("y", "x"))}
+            assembled[image_type] = LArray(image, ["y", "x"], coords)
+        return assembled
+
+    # ------------------------------------------------------------------ export
+    def to_zarr(self, **kwargs) -> str:
+        """Export the region dataset to a zarr store
+        (reference: dual_trainer.py:374-394)."""
+        from sres_tpu.util.zarrlite import ZarrWriter
+        cfg().task["xyflip"] = False
+        ctimes = self.get_dset_time_indices()
+        name = kwargs.get("name", ConfigContext.defaults.get("dataset", "dataset"))
+        zstore = f"{cfg().platform.processed}/{name}.zarr"
+        writer: Optional[ZarrWriter] = None
+        for ctime in ctimes:
+            ts = self.dataset.load_region_data(ctime)
+            data = ts.data[None]  # add time dim
+            if writer is None:
+                writer = ZarrWriter(zstore, data.shape[1:], np.float32,
+                                    dim_names=("time", "channels", "y", "x"))
+            writer.append(data)
+        if writer is not None:
+            writer.close()
+        lgm().log(f"Saved dataset {name} to zarr store {zstore}", display=True)
+        return zstore
