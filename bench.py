@@ -1,0 +1,99 @@
+"""North-star benchmark: RCAN-10-20-64 ×4 self-supervised training throughput
+in 48×48-LR tiles/sec/chip (BASELINE.md / BASELINE.json).
+
+Runs the full compiled training step (bicubic LR synthesis from HR tiles,
+forward, masked RMSE, backward, Adam update, interp-baseline loss) on
+synthetic HR tile batches resident in HBM, batch 36 (the reference's canonical
+batch, config/task/SST-tiles-48.yaml), bf16 compute / f32 params.
+
+``vs_baseline`` compares against an A100 estimate for the reference's eager
+fp32 PyTorch loop: RCAN fwd+bwd ≈ 0.22 TFLOP/tile; A100 TF32 with cuDNN at
+the ~30 TFLOP/s effective rate typical of small-tile eager training (no AMP,
+per-batch host sync/loads in the reference's loop) → ~135 tiles/s. The
+reference publishes no measured numbers (SURVEY.md §6).
+
+Prints ONE JSON line. Flags: --steps N --warmup N --batch N --f32 --model CFG.
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+A100_BASELINE_TILES_PER_SEC = 135.0
+
+
+def main() -> None:
+    p = argparse.ArgumentParser()
+    p.add_argument("--steps", type=int, default=30)
+    p.add_argument("--warmup", type=int, default=5)
+    p.add_argument("--batch", type=int, default=36)
+    p.add_argument("--f32", action="store_true", help="f32 compute instead of bf16")
+    p.add_argument("--nlayers", type=int, default=10)
+    p.add_argument("--nblocks", type=int, default=20)
+    p.add_argument("--nfeatures", type=int, default=64)
+    args = p.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from sres_tpu.models import build_model
+    from sres_tpu.parallel.mesh import get_mesh
+    from sres_tpu.trainer.step import (StepConfig, build_train_step, init_state)
+    import optax
+
+    mcfg = dict(name="rcan", nfeatures=args.nfeatures, nlayers=args.nlayers,
+                nblocks=args.nblocks, cbottleneck=2, kernel_size=3,
+                downscale_factors=[2, 2], loss_fn="l2")
+    precision = "f32" if args.f32 else "bf16"
+    model = build_model(mcfg, 1, 1, precision=precision)
+    sc = StepConfig(scale=4, downscale_factors=(2, 2), down_mode="bicubic",
+                    up_mode="bicubic", loss_fn="l2", data_downsample=1.0,
+                    target_idx=(0,), nchannels_in=1, has_bn=False)
+    optimizer = optax.adam(1e-4)
+    state, _ = init_state(model, optimizer, jnp.zeros((1, 48, 48, 1), jnp.float32), seed=0)
+
+    mesh = get_mesh({"data": -1})
+    ndev = mesh.shape["data"]
+    batch = ((args.batch + ndev - 1) // ndev) * ndev
+    train_step = build_train_step(model, optimizer, sc, mesh)
+
+    rng = np.random.default_rng(0)
+    nbuf = 4
+    hrs = [jnp.asarray(rng.normal(size=(batch, 1, 192, 192)).astype(np.float32))
+           for _ in range(nbuf)]
+    weight = jnp.ones((batch,), jnp.float32)
+
+    for i in range(args.warmup):
+        state, metrics = train_step(state, hrs[i % nbuf], weight)
+    jax.block_until_ready(metrics["mloss"])
+
+    t0 = time.perf_counter()
+    for i in range(args.steps):
+        state, metrics = train_step(state, hrs[i % nbuf], weight)
+    jax.block_until_ready(metrics["mloss"])
+    dt = time.perf_counter() - t0
+
+    tiles_per_sec = args.steps * batch / dt
+    per_chip = tiles_per_sec / ndev
+    print(json.dumps({
+        "metric": "rcan-10-20-64 x4 train throughput (48x48 LR tiles/sec/chip)",
+        "value": round(per_chip, 2),
+        "unit": "tiles/s/chip",
+        "vs_baseline": round(per_chip / A100_BASELINE_TILES_PER_SEC, 3),
+        "detail": {
+            "devices": ndev, "batch": batch, "steps": args.steps,
+            "precision": precision, "step_ms": round(1000 * dt / args.steps, 2),
+            "loss": float(metrics["mloss"]),
+            "baseline_estimate": "A100 eager fp32 reference loop ≈ 135 tiles/s (see docstring)",
+        },
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,20 @@
+"""Timestep-loop inference with NetCDF artifact saving
+(reference: scripts/inference/inference-swot.py)."""
+from sres_tpu.controller import ResultStructure, WorkflowController
+
+cname = "sres"
+model = "rcan-10-20-64"
+timesteps = range(0, 4)
+
+configuration = dict(
+    task="SST-tiles-48",
+    dataset="swot_20-20e",
+    pipeline="sres",
+    platform="explore",
+)
+
+if __name__ == "__main__":
+    controller = WorkflowController(cname, configuration)
+    controller.initialize(cname, model, **configuration)
+    for ts in timesteps:
+        controller.inference(ts, ResultStructure.Tiles)

@@ -1,0 +1,19 @@
+"""RCAN ×4 on LLC4320 Cape Basin SST, time-domain batching
+(reference: scripts/train/train-rcan-cape_basin.py)."""
+from typing import Any, Dict, List
+from sres_tpu.controller import WorkflowController
+
+cname: str = "sres"
+models: List[str] = ["rcan-10-20-64"]
+ccustom: Dict[str, Any] = {}
+
+configuration = dict(
+    task="cape_basin_1x1",
+    dataset="LLC4320-v0",
+    pipeline="sres",
+    platform="explore",
+)
+
+if __name__ == "__main__":
+    controller = WorkflowController(cname, configuration, interp_loss=True)
+    controller.train(models, **ccustom)

@@ -1,0 +1,19 @@
+"""Joint SSS+SST ×4 on the SWOT south-pacific 1200px region
+(reference: scripts/train/*swot-2.2v* family)."""
+from typing import Any, Dict, List
+from sres_tpu.controller import WorkflowController
+
+cname: str = "sres"
+models: List[str] = ["rcan-10-20-64"]
+ccustom: Dict[str, Any] = {"task.nepochs": 25}
+
+configuration = dict(
+    task="SSS_SST-tiles-48",
+    dataset="swot_southpacific_1200",
+    pipeline="sres",
+    platform="explore",
+)
+
+if __name__ == "__main__":
+    controller = WorkflowController(cname, configuration, interp_loss=True)
+    controller.train(models, **ccustom)

@@ -1,0 +1,26 @@
+"""Generic launcher: python train.py --model rcan-10-20-64 --task SST-tiles-48
+--dataset swot_20-20e --platform explore [-ne N] [-r] [key=value ...]"""
+import argparse
+from sres_tpu.controller import WorkflowController
+
+p = argparse.ArgumentParser()
+p.add_argument("--model", required=True)
+p.add_argument("--task", required=True)
+p.add_argument("--dataset", required=True)
+p.add_argument("--platform", default="explore")
+p.add_argument("overrides", nargs="*", help="dot-key overrides: task.lr=1e-4")
+args, _ = p.parse_known_args()
+
+ccustom = {}
+for ov in args.overrides:
+    k, v = ov.split("=", 1)
+    try:
+        v = eval(v, {}, {})
+    except Exception:
+        pass
+    ccustom[k] = v
+
+configuration = dict(task=args.task, dataset=args.dataset,
+                     pipeline="sres", platform=args.platform)
+controller = WorkflowController("sres", configuration, interp_loss=True)
+controller.train([args.model], **ccustom)

@@ -1,0 +1,34 @@
+"""Plot scaffolding (reference: sres/view/plot/base.py). matplotlib +
+ipywidgets are optional — views degrade to figure-only mode without widgets."""
+from __future__ import annotations
+
+from typing import Any, Optional
+
+
+class Plot:
+    def __init__(self, trainer, **kwargs):
+        import matplotlib.pyplot as plt
+        self.trainer = trainer
+        self.fsize = kwargs.get("fsize", 8.0)
+        self.plt = plt
+        self.fig = None
+        self.axs = None
+
+    def create_figure(self, nrows: int = 1, ncols: int = 1, sharex: bool = False,
+                      sharey: bool = False, title: Optional[str] = None):
+        self.fig, self.axs = self.plt.subplots(
+            nrows, ncols, sharex=sharex, sharey=sharey,
+            figsize=[self.fsize, self.fsize * 0.75 * nrows / max(ncols, 1)])
+        if title:
+            self.fig.suptitle(title)
+        return self.fig, self.axs
+
+    def plot(self) -> Any:
+        raise NotImplementedError
+
+
+def cscale(data, nsigma: float = 2.0):
+    """Color scale = mean ± nsigma·std (reference: view/plot/tiles.py:35)."""
+    import numpy as np
+    mean, std = float(np.nanmean(data)), float(np.nanstd(data))
+    return mean - nsigma * std, mean + nsigma * std
