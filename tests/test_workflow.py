@@ -1,0 +1,98 @@
+"""WorkflowController end-to-end: train → tiles/image inference with NetCDF
+artifacts → reload; LLC4320-style time-domain training on a generated .npy
+fixture (reference call stacks §3.1-3.2)."""
+import os
+import sys
+
+import numpy as np
+import pytest
+
+from sres_tpu.config import ConfigContext, cfg
+from sres_tpu.controller import ResultStructure, TSet, WorkflowController
+from sres_tpu.data.inference_io import load_inference_results
+
+
+@pytest.fixture(autouse=True)
+def _clean_argv(monkeypatch):
+    monkeypatch.setattr(sys, "argv", ["test"])  # keep argparse quiet
+
+
+def synth_config(tmp_path):
+    return dict(task="synthetic-tiles-48", dataset="synthetic",
+                pipeline="sres", platform="local")
+
+
+SYNTH_OVER = {
+    "dataset.image_size": {"y": 192, "x": 144},
+    "dataset.ntimes": 4,
+    "dataset.nan_fraction": 0.1,
+    "task.tile_size": {"x": 12, "y": 12},
+    "task.batch_size": 4,
+    "task.nepochs": 2,
+    "task.lr": 2e-3,
+    "task.ttsplit": {"train": 0.75, "valid": 0.25, "test": 0.0},
+    "model.nfeatures": 16,
+    "model.nlayers": 2,
+    "pipeline.precision": "f32",
+}
+
+
+def test_workflow_train_and_inference(tmp_path):
+    over = dict(SYNTH_OVER, **{"platform.root": str(tmp_path)})
+    controller = WorkflowController("sres", synth_config(tmp_path), interp_loss=True)
+    controller.train(["edsr"], **over)
+    assert controller.trainer is not None
+
+    controller2 = WorkflowController("sres", synth_config(tmp_path))
+    controller2.initialize("sres", "edsr", **over)
+    tile_results, tile_losses = controller2.inference(0, ResultStructure.Tiles)
+    assert "SST" in tile_results and "model" in tile_results["SST"]
+    assert tile_losses["SST"]["model"] > 0
+    loaded, llosses = load_inference_results("SST", ResultStructure.Tiles, 0)
+    assert "model" in loaded and abs(llosses["model"] - tile_losses["SST"]["model"]) < 1e-6
+
+    img_results, img_losses = controller2.inference(0, ResultStructure.Image)
+    img = img_results["SST"]["model"]
+    assert img.shape == (192, 144)
+    loaded_img, _ = load_inference_results("SST", ResultStructure.Image, 0)
+    np.testing.assert_allclose(loaded_img["model"].data, img.data.astype(np.float32))
+
+
+def _write_llc4320_fixture(root, nvals=12, ny=96, nx=96):
+    rng = np.random.default_rng(0)
+    os.makedirs(f"{root}/sst_192x192", exist_ok=True)
+    base = rng.normal(size=(ny, nx)).astype(np.float32)
+    for i in range(1, nvals + 1):
+        arr = 12.0 + 4.0 * (base + 0.1 * rng.normal(size=(ny, nx))).astype(np.float32)
+        np.save(f"{root}/sst_192x192/hr_sst_{i:04d}.npy", arr)
+
+
+def test_time_domain_training(tmp_path):
+    """batch_domain='time' (Cape Basin style): batch axis = time index range
+    at one tile location."""
+    root = str(tmp_path / "llc")
+    _write_llc4320_fixture(root)
+    configuration = dict(task="cape_basin_1x1", dataset="LLC4320",
+                         pipeline="sres", platform="local")
+    over = {
+        "platform.root": str(tmp_path),
+        "dataset.dataset_root": root,
+        "task.tile_size": {"x": 12, "y": 12},
+        "task.batch_size": 4,
+        "task.nepochs": 2,
+        "task.lr": 2e-3,
+        "task.ttsplit": {"train": 0.7, "valid": 0.3, "test": 0.0},
+        "model.nfeatures": 16,
+        "model.nlayers": 2,
+        "pipeline.precision": "f32",
+    }
+    controller = WorkflowController("sres", configuration, interp_loss=True)
+    controller.train(["edsr"], **over)
+    ckpts = os.listdir(f"{tmp_path}/results/checkpoints")
+    assert any(n.endswith(".train.ckpt") for n in ckpts), ckpts
+
+
+def test_controller_test_hook(tmp_path):
+    over = dict(SYNTH_OVER, **{"platform.root": str(tmp_path)})
+    controller = WorkflowController("sres", synth_config(tmp_path))
+    controller.test("edsr", "load_raw_dataset", **over)
