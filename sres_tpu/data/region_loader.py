@@ -27,12 +27,18 @@ from sres_tpu.util.logging import lgm
 
 
 class RegionTileLoader:
+    #: timeslices kept in the host-side cache (current + prefetched next)
+    CACHE_SLOTS = 2
+
     def __init__(self, task, **kwargs):
         self.task = task
         self.varnames: Dict[str, str] = dict(task.input_variables)
         self.tile_grid = TileGrid(task)
         self.time_index: int = -1
         self.timeslice: Optional[LArray] = None
+        self._cache: "dict[int, LArray]" = {}
+        import threading
+        self._lock = threading.Lock()
         cache_dir = f"{cfg().platform.cache}/norm_data/norms"
         self.sidecar = NormStatsSidecar(f"{cache_dir}/norms.{config().get('dataset', 'dataset')}.npz")
 
@@ -71,12 +77,31 @@ class RegionTileLoader:
                       coords=dict(tiles=tile_ids, channels=list(self.varnames)),
                       attrs=dict(grid_shape=grid_shape))
 
-    def load_timeslice(self, time_index: int, **kwargs) -> LArray:
-        if time_index != self.time_index:
+    def _load_tiles(self, time_index: int) -> LArray:
+        """Cached region→tiles load; thread-safe so a prefetch worker can warm
+        the next timeslice while the device trains on the current one."""
+        # one coarse lock: load_region mutates cfg().dataset for filename
+        # templating, so concurrent loads must serialize; a waiter for the
+        # same index finds it cached when the prefetch worker finishes
+        with self._lock:
+            if time_index in self._cache:
+                return self._cache[time_index]
             raw = np.stack([self.load_region(v, time_index) for v in self.varnames], axis=0)
-            self.timeslice = self.get_tiles(raw)
-            self.time_index = time_index
+            tiles = self.get_tiles(raw)
+            self._cache[time_index] = tiles
+            while len(self._cache) > self.CACHE_SLOTS:
+                evict = next(k for k in self._cache if k != time_index)
+                del self._cache[evict]
+            return tiles
+
+    def load_timeslice(self, time_index: int, **kwargs) -> LArray:
+        self.timeslice = self._load_tiles(time_index)
+        self.time_index = time_index
         return self.timeslice
+
+    def prefetch_timeslice(self, time_index: int) -> None:
+        """Warm the cache without moving the current-timeslice pointer."""
+        self._load_tiles(time_index)
 
     # -- batch + norm -----------------------------------------------------------
     def _timeslice_iter(self):

@@ -81,6 +81,9 @@ class ModelTrainer:
 
         self.checkpoint_manager = CheckpointManager()
         self.dataset = BatchDataset(cfg().task, seed=seed)
+        from concurrent.futures import ThreadPoolExecutor
+        self._prefetch = (ThreadPoolExecutor(1, thread_name_prefix="timeslice-prefetch")
+                          if bool(cfg().pipeline.get("prefetch", True)) else None)
         self.data_timestamps: Dict[TSet, List[TimeType]] = {}
         self.validation_loss = float("inf")
         self.train_state_meta: Dict[str, Any] = {}
@@ -163,6 +166,7 @@ class ModelTrainer:
             for itime in range(itime0, nts):
                 ctime = train_times[itime]
                 tile_iter = self._tile_iterator(ctime, randomize=True)
+                self._prefetch_next(train_times, itime)
                 metrics_list = []
                 for ctile in iter(tile_iter):
                     batch = self.dataset.get_batch_array(ctile, ctime)
@@ -208,6 +212,16 @@ class ModelTrainer:
             timeslice = self.dataset.load_timeslice(ctime)
             return TileIterator.get_iterator(ntiles=timeslice.sizes["tiles"], randomize=randomize)
         return TileIterator.get_iterator(randomize=randomize)
+
+    def _prefetch_next(self, times: List[TimeType], itime: int) -> None:
+        """Warm the next timeslice on a worker thread so disk IO overlaps the
+        device step stream (replaces the reference's fully synchronous loads,
+        dual_trainer.py:303)."""
+        if self._prefetch is None or itime + 1 >= len(times):
+            return
+        loader = self.dataset.srbatch.data_loader
+        if hasattr(loader, "prefetch_timeslice"):
+            self._prefetch.submit(loader.prefetch_timeslice, times[itime + 1])
 
     def record_eval(self, epoch: int, losses: Dict[TSet, float], tset: TSet, **kwargs):
         if float(cfg().task.ttsplit.get(tset.value, 0.0)) > 0.0:
