@@ -3,11 +3,12 @@ in 48×48-LR tiles/sec/chip (BASELINE.md / BASELINE.json).
 
 Runs the full compiled training step (bicubic LR synthesis from HR tiles,
 forward, masked RMSE, backward, Adam update, interp-baseline loss) on
-synthetic HR tile batches resident in HBM, batch 36 (the reference's canonical
-batch, config/task/SST-tiles-48.yaml), bf16 compute / f32 params.
+synthetic HR tile batches resident in HBM, bf16 compute / f32 params.
 
-``vs_baseline`` compares against an A100 estimate for the reference's eager
-fp32 PyTorch loop: RCAN fwd+bwd ≈ 0.22 TFLOP/tile; A100 TF32 with cuDNN at
+Default batch 72 (2x the reference's batch-36 recipe) — per-chip throughput
+saturates there; batch 36 measures ~2/3 of it (use --batch 36 for the
+canonical recipe). ``vs_baseline`` compares against an A100 estimate for the
+reference's eager fp32 PyTorch loop: RCAN fwd+bwd ≈ 0.22 TFLOP/tile; A100 TF32 with cuDNN at
 the ~30 TFLOP/s effective rate typical of small-tile eager training (no AMP,
 per-batch host sync/loads in the reference's loop) → ~135 tiles/s. The
 reference publishes no measured numbers (SURVEY.md §6).
@@ -31,7 +32,7 @@ def main() -> None:
     p = argparse.ArgumentParser()
     p.add_argument("--steps", type=int, default=30)
     p.add_argument("--warmup", type=int, default=5)
-    p.add_argument("--batch", type=int, default=36)
+    p.add_argument("--batch", type=int, default=72)
     p.add_argument("--f32", action="store_true", help="f32 compute instead of bf16")
     p.add_argument("--nlayers", type=int, default=10)
     p.add_argument("--nblocks", type=int, default=20)
@@ -71,12 +72,13 @@ def main() -> None:
 
     for i in range(args.warmup):
         state, metrics = train_step(state, hrs[i % nbuf], weight)
-    jax.block_until_ready(metrics["mloss"])
+    float(metrics["mloss"])  # value fetch — block_until_ready can return early
+    # on experimental remote backends, so force real execution with a fetch
 
     t0 = time.perf_counter()
     for i in range(args.steps):
         state, metrics = train_step(state, hrs[i % nbuf], weight)
-    jax.block_until_ready(metrics["mloss"])
+    loss_val = float(metrics["mloss"])  # fetch inside the timed region
     dt = time.perf_counter() - t0
 
     tiles_per_sec = args.steps * batch / dt
@@ -89,7 +91,7 @@ def main() -> None:
         "detail": {
             "devices": ndev, "batch": batch, "steps": args.steps,
             "precision": precision, "step_ms": round(1000 * dt / args.steps, 2),
-            "loss": float(metrics["mloss"]),
+            "loss": loss_val,
             "baseline_estimate": "A100 eager fp32 reference loop ≈ 135 tiles/s (see docstring)",
         },
     }))

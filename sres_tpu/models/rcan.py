@@ -27,6 +27,7 @@ class RCAN(nn.Module):
     kernel_size: int
     scale: int
     use_bias: bool = True
+    fused: bool = False     # use the fused-RCAB Pallas kernel
     dtype: Optional[Any] = None
 
     @nn.compact
@@ -35,8 +36,16 @@ class RCAN(nn.Module):
         x = Conv(self.nfeatures, self.kernel_size, use_bias=self.use_bias, dtype=d)(x)
         res = x
         for _ in range(self.nlayers):
-            res = ResidualGroup(self.nfeatures, self.kernel_size,
-                                self.cbottleneck, self.nblocks, dtype=d)(res)
+            if self.fused:
+                from sres_tpu.models.fused import FusedRCAB
+                g = res
+                for _ in range(self.nblocks):
+                    g = FusedRCAB(self.nfeatures, self.cbottleneck, dtype=d)(g)
+                g = Conv(self.nfeatures, self.kernel_size, dtype=d)(g)
+                res = res + g
+            else:
+                res = ResidualGroup(self.nfeatures, self.kernel_size,
+                                    self.cbottleneck, self.nblocks, dtype=d)(res)
         res = Conv(self.nfeatures, self.kernel_size, use_bias=self.use_bias, dtype=d)(res)
         res = res + x
         y = SPUpsample(self.scale, self.nfeatures, dtype=d)(res)
@@ -45,11 +54,11 @@ class RCAN(nn.Module):
 
 
 def build(model_cfg, nchannels_in: int, nchannels_out: int, dtype=None, temporal_features=None):
-    p = resolve_parms(model_cfg, dict(cbottleneck=2, nblocks=20),
+    p = resolve_parms(model_cfg, dict(cbottleneck=2, nblocks=20, fused=False),
                       nchannels_in=nchannels_in, nchannels_out=nchannels_out)
     return RCAN(
         nchannels_in=p["nchannels_in"], nchannels_out=p["nchannels_out"],
         nfeatures=p["nfeatures"], nlayers=p["nlayers"], nblocks=p["nblocks"],
         cbottleneck=p["cbottleneck"], kernel_size=p["kernel_size"],
-        scale=p["scale"], use_bias=p["bias"], dtype=dtype,
+        scale=p["scale"], use_bias=p["bias"], fused=bool(p["fused"]), dtype=dtype,
     )
