@@ -53,6 +53,7 @@ class SWOTRawDataLoader(RegionTileLoader):
     def __init__(self, task, **kwargs):
         super().__init__(task, **kwargs)
         self._template_mask: Optional[np.ndarray] = None
+        self._scatter_map: Optional[np.ndarray] = None
 
     # -- path templating (runtime-mutates cfg().dataset like the reference) ----
     def _filepath(self) -> str:
@@ -89,10 +90,12 @@ class SWOTRawDataLoader(RegionTileLoader):
     def load_region(self, varname: str, time_index: int) -> np.ndarray:
         cfg().dataset["varname"] = varname
         cfg().dataset["index"] = time_index
-        mask = self._mask()
-        var_data = np.fromfile(self._filepath(), ">f4")
-        full = np.full(mask.shape, np.nan, np.float32)
-        full[mask] = var_data
+        if self._scatter_map is None:
+            from sres_tpu import native
+            self._scatter_map = native.build_scatter_map(self._mask())
+        from sres_tpu import native
+        raw = np.fromfile(self._filepath(), np.uint32)  # big-endian f32 bits
+        full = native.decode_timestep(raw, self._scatter_map)
         east, west = mds2d(full)
         region = self._subset_roi(assemble_hemispheres(east, west))
         lgm().log(f"SWOT load_region({varname},{time_index}): {region.shape}")
