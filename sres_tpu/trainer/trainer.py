@@ -84,6 +84,8 @@ class ModelTrainer:
         from concurrent.futures import ThreadPoolExecutor
         self._prefetch = (ThreadPoolExecutor(1, thread_name_prefix="timeslice-prefetch")
                           if bool(cfg().pipeline.get("prefetch", True)) else None)
+        from sres_tpu.util.diagnostics import apply_pipeline_debug_flags
+        apply_pipeline_debug_flags()
         self.data_timestamps: Dict[TSet, List[TimeType]] = {}
         self.validation_loss = float("inf")
         self.train_state_meta: Dict[str, Any] = {}
@@ -168,13 +170,19 @@ class ModelTrainer:
                 tile_iter = self._tile_iterator(ctime, randomize=True)
                 self._prefetch_next(train_times, itime)
                 metrics_list = []
-                for ctile in iter(tile_iter):
-                    batch = self.dataset.get_batch_array(ctile, ctime)
-                    if batch is None:
-                        break
-                    hr, weight, nvalid = self._pad_batch(batch)
-                    self.state, metrics = self._train_step(self.state, hr, weight)
-                    metrics_list.append(metrics)
+                # profile the first trained timeslice when pipeline.profile
+                from contextlib import nullcontext
+                from sres_tpu.util.diagnostics import profile_trace
+                prof = profile_trace("train") if (epoch == epoch0 and itime == itime0) \
+                    else nullcontext()
+                with prof:
+                    for ctile in iter(tile_iter):
+                        batch = self.dataset.get_batch_array(ctile, ctime)
+                        if batch is None:
+                            break
+                        hr, weight, nvalid = self._pad_batch(batch)
+                        self.state, metrics = self._train_step(self.state, hr, weight)
+                        metrics_list.append(metrics)
                 m = self._metrics_to_host(metrics_list)
                 if len(m.get("sloss", ())) == 0:
                     continue
@@ -196,6 +204,8 @@ class ModelTrainer:
             lgm().log(f"Epoch Execution time: {epoch_time:.1f} min, train-loss: {epoch_loss:.4f}",
                       display=True)
             self.record_eval(epoch, {TSet.Train: epoch_loss}, TSet.Validation)
+            from sres_tpu.util.diagnostics import save_memory_snapshot
+            save_memory_snapshot()
             itime0 = 0
 
         train_time = time.time() - train_start

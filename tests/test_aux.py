@@ -1,0 +1,61 @@
+"""Aux subsystems: diagnostics, temporal features, stats accumulation,
+zarr writer (SURVEY.md §5)."""
+import os
+
+import numpy as np
+
+from sres_tpu.config import ConfigContext, cfg
+from sres_tpu.models.temporal import (featurize_progress, get_day_progress,
+                                      get_temporal_features, get_year_progress)
+from sres_tpu.trainer.stats import StatsAccumulator
+from sres_tpu.util.diagnostics import device_memory_stats, save_memory_snapshot
+
+
+def test_temporal_features():
+    assert get_temporal_features(None) is None
+    t = np.array(["2011-09-13", "2011-09-14", "2012-03-13"], dtype="datetime64[D]")
+    f = get_temporal_features(t)
+    assert f.shape == (3, 4)
+    np.testing.assert_allclose(f[0], [0, 1, 0, 1], atol=1e-6)   # t0: sin=0 cos=1
+    np.testing.assert_allclose(f[1, :2], [0, 1], atol=1e-5)     # +1 day: day wraps
+
+
+def test_progress_features():
+    secs = np.array([0.0, 43200.0, 86400.0])
+    dp = get_day_progress(secs, np.array([0.0, 180.0]))
+    assert dp.shape == (3, 2)
+    np.testing.assert_allclose(dp[0], [0.0, 0.5])
+    np.testing.assert_allclose(dp[1], [0.5, 0.0], atol=1e-9)
+    yp = get_year_progress(secs)
+    assert np.all((0 <= yp) & (yp < 1))
+    fz = featurize_progress(yp)
+    assert set(fz) == {"progress", "progress_sin", "progress_cos"}
+
+
+def test_stats_accumulator_weighted_merge(tmp_path):
+    acc = StatsAccumulator("high")
+    rng = np.random.default_rng(0)
+    a = rng.normal(0, 1, (4, 8, 8))
+    b = rng.normal(0, 3, (12, 8, 8))
+    acc.add_entry("sst", a)
+    acc.add_entry("sst", b)
+    mean = acc.accumulate("mean")["sst"]
+    expect = (4 * a.mean() + 12 * b.mean()) / 16
+    np.testing.assert_allclose(mean, expect, rtol=1e-12)
+    std = acc.accumulate("std")["sst"]
+    expect_std = np.sqrt((4 * a.std() ** 2 + 12 * b.std() ** 2) / 16)
+    np.testing.assert_allclose(std, expect_std, rtol=1e-12)
+    p = str(tmp_path / "stats" / "mean.nc")
+    acc.save("mean", p)
+    assert os.path.exists(p)
+
+
+def test_memory_snapshot(tmp_path):
+    ConfigContext.set_defaults(platform="local", task="synthetic-tiles-48",
+                               dataset="synthetic", pipeline="sres")
+    with ConfigContext("sres", model="edsr",
+                       **{"platform.root": str(tmp_path), "pipeline.memory_debug": True}):
+        stats = device_memory_stats()
+        assert isinstance(stats, dict)
+        path = save_memory_snapshot()
+        assert path is not None and os.path.exists(path)
