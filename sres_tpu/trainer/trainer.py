@@ -406,6 +406,89 @@ class ModelTrainer:
             assembled[image_type] = LArray(image, ["y", "x"], coords)
         return assembled
 
+    # ------------------------------------------------- multi-chip region inference
+    def infer_region(self, ctime: TimeType, **kwargs) -> Dict[str, Dict[str, LArray]]:
+        """Full-region tiled inference with on-device assembly: every tile of
+        the timeslice runs through the mesh-sharded eval in ONE padded batch
+        (padded to the full grid slot count → a single compilation), results
+        are denormalized and scattered into the region mosaic on device, and
+        only the final images cross to the host (BASELINE.json config #5).
+        """
+        import functools
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        from sres_tpu.ops.assemble import assemble_tiles
+        from sres_tpu.ops.resize import upsample
+        from sres_tpu.trainer.step import _apply, prepare_inputs
+
+        if kwargs.get("update_model", False):
+            meta = self.checkpoint_manager.load_checkpoint(self.state, TSet.Validation,
+                                                           update_model=True)
+            if meta and "state" in meta:
+                self.state = meta["state"]
+        timeslice = self.dataset.load_timeslice(ctime)
+        grid_shape = dict(timeslice.attrs["grid_shape"])
+        nslots = grid_shape["x"] * grid_shape["y"]
+        pad_n = pad_to_multiple(nslots, self.ndata)
+
+        loader = self.dataset.srbatch.data_loader
+        batch = loader.select_batch((0, timeslice.shape[0]))
+        ntiles = batch.shape[0]
+        hr = np.zeros((pad_n,) + batch.data.shape[1:], np.float32)
+        hr[:ntiles] = batch.data
+        weight = np.zeros((pad_n,), np.float32)
+        weight[:ntiles] = 1.0
+        tile_ids = np.zeros((pad_n,), np.int32)
+        tile_ids[:ntiles] = np.asarray(batch.coords["tiles"], np.int32)
+        # denorm as x*scale + offset from the batch stats (identity if absent)
+        nch = hr.shape[1]
+        scale = np.ones((pad_n, 1, 1, nch), np.float32)
+        offset = np.zeros((pad_n, 1, 1, nch), np.float32)
+        if "mean" in batch.attrs:
+            scale[:ntiles] = np.transpose(batch.attrs["std"], (0, 2, 3, 1))
+            offset[:ntiles] = np.transpose(batch.attrs["mean"], (0, 2, 3, 1))
+        elif "max" in batch.attrs:
+            rng_ = batch.attrs["max"] - batch.attrs["min"]
+            scale[:ntiles] = np.transpose(rng_, (0, 2, 3, 1))
+            offset[:ntiles] = np.transpose(batch.attrs["min"], (0, 2, 3, 1))
+
+        sc = self.step_config
+        state = self.state
+        gs = (grid_shape["y"], grid_shape["x"])
+
+        @functools.partial(jax.jit,
+                           in_shardings=(jax.tree.map(lambda _: NamedSharding(self.mesh, P()), state),
+                                         NamedSharding(self.mesh, P("data")),
+                                         NamedSharding(self.mesh, P("data")),
+                                         NamedSharding(self.mesh, P("data")),
+                                         NamedSharding(self.mesh, P("data")),
+                                         NamedSharding(self.mesh, P("data"))),
+                           out_shardings=NamedSharding(self.mesh, P()))
+        def region_step(state, hr, weight, ids, scale, offset):
+            lr, target = prepare_inputs(hr, sc)
+            out, _ = _apply(self.model, state.params, state.batch_stats, lr, False, sc)
+            if isinstance(out, tuple):
+                out = out[-1]
+            interp = upsample(lr, float(sc.scale), sc.up_mode)
+            grid = dict(y=gs[0], x=gs[1])
+            images = {}
+            for name, arr in (("target", target * scale + offset),
+                              ("model", out * scale + offset),
+                              ("interpolated", interp * scale + offset),
+                              ("input", lr * scale + offset)):
+                chans = [assemble_tiles(arr[..., c], ids, grid, weight)
+                         for c in range(arr.shape[-1])]
+                images[name] = jnp.stack(chans, axis=0)
+            return images
+
+        images = jax.device_get(region_step(state, jnp.asarray(hr), jnp.asarray(weight),
+                                            jnp.asarray(tile_ids), jnp.asarray(scale),
+                                            jnp.asarray(offset)))
+        result: Dict[str, Dict[str, LArray]] = {}
+        for ivar, vname in enumerate(self.target_variables):
+            result[vname] = {k: LArray(np.asarray(v[ivar]), ["y", "x"])
+                             for k, v in images.items()}
+        return result
+
     # ------------------------------------------------------------------ export
     def to_zarr(self, **kwargs) -> str:
         """Export the region dataset to a zarr store

@@ -1,0 +1,114 @@
+"""Multi-device (8 virtual CPU) parallelism tests: the sharded train step
+matches a single-device step bit-for-bit, the mesh builds correctly, and
+full-region multi-chip inference with on-device assembly agrees with the
+host-assembly path (SURVEY.md §2.10 / BASELINE config #5)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+import pytest
+from jax.sharding import Mesh
+
+from sres_tpu.config import ConfigContext, cfg
+from sres_tpu.models import build_model
+from sres_tpu.parallel.mesh import get_mesh, pad_to_multiple
+from sres_tpu.trainer.step import (StepConfig, build_train_step, init_state)
+
+
+def _tiny_setup():
+    mcfg = dict(name="rcan", nfeatures=16, nlayers=1, nblocks=2, cbottleneck=2,
+                kernel_size=3, downscale_factors=[2, 2], loss_fn="l2")
+    model = build_model(mcfg, 1, 1, precision="f32")
+    sc = StepConfig(4, (2, 2), "bicubic", "bicubic", "l2", 1.0, (0,), 1, False)
+    opt = optax.adam(1e-3)
+    state, _ = init_state(model, opt, jnp.zeros((1, 12, 12, 1)), seed=0)
+    return model, sc, opt, state
+
+
+def test_mesh_construction():
+    mesh = get_mesh({"data": -1})
+    assert mesh.shape["data"] == len(jax.devices()) == 8
+    assert pad_to_multiple(36, 8) == 40
+
+
+def test_sharded_step_matches_single_device():
+    model, sc, opt, state = _tiny_setup()
+    rng = np.random.default_rng(0)
+    hr = jnp.asarray(rng.normal(size=(16, 1, 48, 48)).astype(np.float32))
+    w = jnp.ones((16,), jnp.float32)
+
+    mesh8 = Mesh(np.asarray(jax.devices()[:8]), ("data",))
+    mesh1 = Mesh(np.asarray(jax.devices()[:1]), ("data",))
+    s8, m8 = build_train_step(model, opt, sc, mesh8)(state, hr, w)
+    _, sc2, _, state2 = _tiny_setup()
+    s1, m1 = build_train_step(model, opt, sc, mesh1)(state2, hr, w)
+
+    np.testing.assert_allclose(float(m8["mloss"]), float(m1["mloss"]), rtol=1e-6)
+    for a, b in zip(jax.tree.leaves(s8.params), jax.tree.leaves(s1.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=2e-6)
+
+
+def test_padded_weights_do_not_affect_gradients():
+    """Zero-weight padding tiles must not change the update."""
+    model, sc, opt, state = _tiny_setup()
+    rng = np.random.default_rng(1)
+    hr = rng.normal(size=(8, 1, 48, 48)).astype(np.float32)
+    mesh = Mesh(np.asarray(jax.devices()[:8]), ("data",))
+    step = build_train_step(model, opt, sc, mesh)
+
+    _, _, _, state_a = _tiny_setup()
+    sa, ma = step(state_a, jnp.asarray(hr), jnp.ones((8,), jnp.float32))
+    hr_pad = np.concatenate([hr, 1e6 * np.ones((8, 1, 48, 48), np.float32)])
+    w_pad = np.concatenate([np.ones(8, np.float32), np.zeros(8, np.float32)])
+    _, _, _, state_b = _tiny_setup()
+    sb, mb = step(state_b, jnp.asarray(hr_pad), jnp.asarray(w_pad))
+    np.testing.assert_allclose(float(ma["sloss"]), float(mb["sloss"]), rtol=1e-6)
+    for a, b in zip(jax.tree.leaves(sa.params), jax.tree.leaves(sb.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=2e-6)
+
+
+def test_on_device_region_assembly():
+    from sres_tpu.ops.assemble import assemble_tiles
+    tiles = jnp.arange(3 * 2 * 2, dtype=jnp.float32).reshape(3, 2, 2)
+    ids = jnp.asarray([0, 3, 5])
+    w = jnp.ones((3,))
+    img = assemble_tiles(tiles, ids, dict(y=2, x=3), w)
+    assert img.shape == (4, 6)
+    np.testing.assert_allclose(np.asarray(img[0, 0]), 0.0)     # tile 0 top-left
+    assert np.isnan(np.asarray(img[0, 2]))                     # slot 1 empty
+    np.testing.assert_allclose(np.asarray(img[2, 4]), tiles[2, 0, 0])  # tile 5 → (1,2)
+
+
+def test_infer_region_multichip(tmp_path):
+    """Full-region inference sharded over 8 devices matches the host
+    (process_image) assembly."""
+    from sres_tpu.trainer import ModelTrainer
+    ConfigContext.set_defaults(platform="local", task="synthetic-tiles-48",
+                               dataset="synthetic", pipeline="sres")
+    over = {
+        "platform.root": str(tmp_path),
+        "dataset.image_size": {"y": 192, "x": 144},
+        "dataset.ntimes": 3, "dataset.nan_fraction": 0.1,
+        "task.tile_size": {"x": 12, "y": 12}, "task.batch_size": 4,
+        "task.ttsplit": {"train": 0.7, "valid": 0.3, "test": 0.0},
+        "task.xyflip": False,
+        "model.nfeatures": 8, "model.nlayers": 1,
+        "pipeline.precision": "f32",
+    }
+    with ConfigContext("sres", model="edsr", **over) as cc:
+        trainer = ModelTrainer(cc, seed=0)
+        trainer.train(nepochs=2, refresh_state=True, seed=0)
+        trainer.init_data_timestamps()
+        from sres_tpu.data.inference_io import TSet
+        ctime = trainer.data_timestamps[TSet.Train][0]
+        region = trainer.infer_region(ctime)
+        img = region["SST"]["model"]
+        assert img.shape == (192, 144)
+        assert np.isnan(img.data).any() and np.isfinite(img.data).any()
+        # agreement with the host-assembled path
+        images, _ = trainer.process_image(TSet.Validation, 0, update_model=False)
+        host = images["SST"]["model"].data
+        dev = img.data
+        both = np.isfinite(host) & np.isfinite(dev)
+        np.testing.assert_allclose(dev[both], host[both], rtol=1e-4, atol=1e-4)
+        assert (np.isnan(host) == np.isnan(dev)).all()
