@@ -60,6 +60,35 @@ class _AsyncWriter:
         self._q.join()
 
 
+_TAIL_MARKERS = ("tail", "SPUpsample", "upsampler", "Upsample")
+
+
+def _partial_restore(template: SRTrainState, saved: Dict[str, Any]) -> SRTrainState:
+    """Leaf-wise restore of the *parameters* that match, tolerating mismatched
+    upsampler-tail shapes; optimizer state restarts fresh (its moments would
+    be inconsistent with a changed tail anyway)."""
+    import jax
+
+    tmpl_params = serialization.to_state_dict(jax.device_get(template)).get("params", {})
+    saved_params = saved.get("params", {})
+
+    def merge(t_node, s_node, path=""):
+        if isinstance(t_node, dict):
+            return {k: merge(v, (s_node or {}).get(k), f"{path}/{k}") for k, v in t_node.items()}
+        if s_node is not None and np.shape(s_node) == np.shape(t_node):
+            return s_node
+        if any(m.lower() in path.lower() for m in _TAIL_MARKERS):
+            lgm().log(f"partial restore: keeping fresh init for {path} "
+                      f"({np.shape(s_node)} vs {np.shape(t_node)})", display=True)
+            return t_node
+        raise ValueError(f"checkpoint/model shape mismatch at {path}: "
+                         f"{np.shape(s_node)} vs {np.shape(t_node)}")
+
+    merged = merge(tmpl_params, saved_params)
+    restored_params = serialization.from_state_dict(template.params, merged)
+    return template.replace(params=restored_params)
+
+
 class CheckpointManager:
     def __init__(self, async_write: Optional[bool] = None):
         if async_write is None:
@@ -115,7 +144,14 @@ class CheckpointManager:
             "loss": float(blob["loss"]), "interp_loss": float(blob.get("interp_loss", 0.0)),
         }
         if update_model:
-            out["state"] = serialization.from_state_dict(state_template, blob["state"])
+            try:
+                out["state"] = serialization.from_state_dict(state_template, blob["state"])
+            except (ValueError, KeyError):
+                # tail-tolerant partial restore: the reference allows reusing a
+                # trunk with a new upsampler head (FModule.load_state_dict,
+                # common/common.py:50-71) — mismatched tail/upsampler leaves
+                # keep their fresh init; any other mismatch is an error
+                out["state"] = _partial_restore(state_template, blob["state"])
         lgm().log(f"Loaded model checkpoint from {path}", display=True)
         return out
 

@@ -109,8 +109,12 @@ def build_train_step(model, optimizer: optax.GradientTransformation,
         new_params = optax.apply_updates(state.params, updates)
         new_state = state.replace(step=state.step + 1, params=new_params,
                                   batch_stats=new_bs, opt_state=new_opt)
+        # interp baseline with the interpolation as the "product" so the
+        # larger target is cropped under fractional data_downsample (the
+        # reference's train-time order would shape-error there; its eval
+        # order, used here, is the working one — dual_trainer.py:519)
         interp = upsample(lr, float(sc.scale), sc.up_mode)
-        interp_sloss, _ = _losses(target, interp, weight, sc._replace(loss_fn=sc.loss_fn))
+        interp_sloss, _ = _losses(interp, target, weight, sc)
         metrics = dict(mloss=mloss, sloss=sloss, interp_sloss=interp_sloss)
         return new_state, metrics
 

@@ -106,6 +106,24 @@ class ModelTrainer:
     def get_dataset(self) -> BatchDataset:
         return self.dataset
 
+    def get_sample_target(self) -> Optional[LArray]:
+        """First tile batch of the first timeslice (reference:
+        SRModels.sample_target, manager.py:56-66)."""
+        times = self.get_dset_time_indices()
+        self.dataset.load_timeslice(times[0])
+        return self.dataset.get_batch_array(dict(start=0, end=self.batch_size), times[0])
+
+    def get_sample_input(self, targets_only: bool = True) -> Optional[LArray]:
+        """Bicubic-downsampled sample batch (reference: SRModels.sample_input)."""
+        from sres_tpu.ops.resize import downsample
+        target = self.get_sample_target()
+        if target is None:
+            return None
+        nhwc = np.transpose(target.data, (0, 2, 3, 1))
+        lr = np.asarray(downsample(nhwc, float(self.scale_factor), self.step_config.down_mode))
+        return LArray(np.transpose(lr, (0, 3, 1, 2)), target.dims,
+                      dict(target.coords), dict(target.attrs))
+
     def get_dset_time_indices(self) -> List[TimeType]:
         return self.dataset.get_dset_time_indices()
 
