@@ -1,0 +1,15 @@
+"""Offline inference smoke: tiles + image structures on the synthetic dataset
+(run scripts/train/train-synthetic.py first)."""
+from sres_tpu.controller import ResultStructure, WorkflowController
+
+configuration = dict(task="synthetic-tiles-48", dataset="synthetic",
+                     pipeline="sres", platform="local")
+overrides = {"model.nlayers": 4, "model.nfeatures": 32}
+
+if __name__ == "__main__":
+    controller = WorkflowController("sres", configuration)
+    controller.initialize("sres", "edsr", **configuration, **overrides)
+    for ts in range(2):
+        controller.inference(ts, ResultStructure.Tiles)
+    controller.inference(0, ResultStructure.Image)
+    print("inference artifacts written")

@@ -59,3 +59,24 @@ def test_memory_snapshot(tmp_path):
         assert isinstance(stats, dict)
         path = save_memory_snapshot()
         assert path is not None and os.path.exists(path)
+
+
+def test_training_plot_builds(tmp_path, monkeypatch):
+    import matplotlib
+    matplotlib.use("Agg")
+    from sres_tpu.trainer.results import ResultsAccumulator
+    from sres_tpu.view.training import TrainingPlot
+    ConfigContext.set_defaults(platform="local", task="synthetic-tiles-48",
+                               dataset="synthetic", pipeline="sres")
+    with ConfigContext("sres", model="edsr", **{"platform.root": str(tmp_path)}) as cc:
+        accum = ResultsAccumulator(cc)
+        from sres_tpu.data.inference_io import TSet
+        for e in range(5):
+            accum.record_losses(TSet.Train, e, 1.0 / (e + 1), 0.5)
+            accum.record_losses(TSet.Validation, e, 1.1 / (e + 1), 0.5)
+        accum.flush()
+
+        class FakeTrainer:
+            results_accum = accum
+        fig = TrainingPlot(FakeTrainer())
+        assert fig.plot() is not None
