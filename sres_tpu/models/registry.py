@@ -49,12 +49,12 @@ def _dtype_of(precision: str):
 
 def model_names():
     from sres_tpu.models import (dbpn, edsr, esrt, lapsrn, latticenet, mscnn,
-                                 rcan, srdn, unet, vdsr)
+                                 rcan, srdn, swinir, unet, vdsr)
     return {
         "rcan": rcan.build, "edsr": edsr.build, "vdsr": vdsr.build,
         "lapsrn": lapsrn.build, "mscnn": mscnn.build, "srdn": srdn.build,
         "unet": unet.build, "dbpn": dbpn.build, "latticenet": latticenet.build,
-        "esrt": esrt.build,
+        "esrt": esrt.build, "swinir": swinir.build,
     }
 
 

@@ -42,3 +42,26 @@ def test_zoo_trains(tmp_path, model, mover):
         trainer = ModelTrainer(cc, seed=0)
         out = trainer.train(nepochs=2, refresh_state=True, seed=0)
         assert np.isfinite(out["prediction"]), f"{model} produced non-finite loss"
+
+
+def test_swinir_trains(tmp_path):
+    """Transformer SR config (BASELINE #4): windowed attention with shifted
+    windows on window-divisible tiles."""
+    ConfigContext.set_defaults(platform="local", task="synthetic-tiles-48",
+                               dataset="synthetic", pipeline="sres")
+    over = {
+        "platform.root": str(tmp_path),
+        "dataset.image_size": {"y": 128, "x": 64},
+        "dataset.ntimes": 2,
+        "dataset.nan_fraction": 0.0,
+        "task.tile_size": {"x": 16, "y": 16},
+        "task.batch_size": 2,
+        "task.ttsplit": {"train": 1.0, "valid": 0.0, "test": 0.0},
+        "model.nlayers": 1, "model.nblocks": 2, "model.nfeatures": 32,
+        "model.window_size": 8, "model.num_heads": 2,
+        "pipeline.precision": "f32",
+    }
+    with ConfigContext("sres", model="swinir", **over) as cc:
+        trainer = ModelTrainer(cc, seed=0)
+        out = trainer.train(nepochs=2, refresh_state=True, seed=0)
+        assert np.isfinite(out["prediction"])
