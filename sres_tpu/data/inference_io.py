@@ -62,11 +62,16 @@ def save_inference_results(varname: str, data_structure: ResultStructure,
         # the LR input gets its own ys/xs dims (reference: inference.py:25)
         dims = tuple(("ys" if d == "y" else "xs" if d == "x" else d) for d in arr.dims) \
             if rtype == "input" else arr.dims
+        final_dims = []
         for d, n in zip(dims, arr.shape):
-            if d not in made_dims:
-                f.createDimension(d, n)
-                made_dims[d] = n
-        v = f.createVariable(rtype, "f4", dims)
+            # under fractional data_downsample model/target spatial sizes can
+            # differ — allocate size-suffixed dims on conflict
+            name = d if made_dims.get(d, n) == n else f"{d}{n}"
+            if name not in made_dims:
+                f.createDimension(name, n)
+                made_dims[name] = n
+            final_dims.append(name)
+        v = f.createVariable(rtype, "f4", tuple(final_dims))
         v[:] = np.asarray(arr.data, np.float32)
     f.close()
     return rpath

@@ -62,6 +62,8 @@ class ModelTrainer:
         self.scale_factor = math.prod(self.downscale_factors)
         self.model_name: str = cfg().model.name
 
+        from sres_tpu.parallel.mesh import initialize_distributed
+        initialize_distributed()  # no-op outside a multi-host launch
         self.mesh = get_mesh(dict(cfg().pipeline.get("mesh", {"data": -1})))
         self.ndata = self.mesh.shape["data"]
         self.batch_size: int = cfg().task.batch_size
@@ -79,6 +81,7 @@ class ModelTrainer:
         self._train_step = build_train_step(self.model, self.optimizer, self.step_config, self.mesh)
         self._eval_step = build_eval_step(self.model, self.step_config, self.mesh)
 
+        self.conform_to_data_grid()
         self.checkpoint_manager = CheckpointManager()
         self.dataset = BatchDataset(cfg().task, seed=seed)
         from concurrent.futures import ThreadPoolExecutor
@@ -105,6 +108,20 @@ class ModelTrainer:
 
     def get_dataset(self) -> BatchDataset:
         return self.dataset
+
+    def conform_to_data_grid(self) -> None:
+        """Snap task.origin onto the tile grid when task.conform_to_grid is
+        set (pixel-space analogue of the reference's coordinate snapping,
+        dual_trainer.py:179-187)."""
+        if not cfg().task.get("conform_to_grid", False):
+            return
+        ts = cfg().task.tile_size
+        origin = dict(cfg().task.get("origin", {}) or {})
+        snapped = {d: int(round(origin.get(d, 0) / (ts[d] * self.scale_factor)))
+                   * ts[d] * self.scale_factor for d in ("x", "y")}
+        if snapped != origin:
+            lgm().log(f" ** snap_origin_to_data_grid: {origin} -> {snapped}", display=True)
+        cfg().task["origin"] = snapped
 
     def get_sample_target(self) -> Optional[LArray]:
         """First tile batch of the first timeslice (reference:
@@ -438,6 +455,10 @@ class ModelTrainer:
         from sres_tpu.ops.resize import upsample
         from sres_tpu.trainer.step import _apply, prepare_inputs
 
+        if self.domain != batchDomain.Tiles:
+            raise NotImplementedError(
+                "infer_region requires a tiles-domain task (region datasets); "
+                "time-domain tasks cover a single tile grid — use evaluate()")
         if kwargs.get("update_model", False):
             meta = self.checkpoint_manager.load_checkpoint(self.state, TSet.Validation,
                                                            update_model=True)

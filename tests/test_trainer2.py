@@ -115,3 +115,41 @@ def test_sample_accessors(tmp_path):
         tgt = trainer.get_sample_target()
         inp = trainer.get_sample_input()
         assert tgt.data.shape[-1] == 48 and inp.data.shape[-1] == 12
+
+
+def test_conform_to_grid_snaps_origin(tmp_path):
+    with ctx(tmp_path, **{"task.conform_to_grid": True,
+                          "task.origin": {"x": 50, "y": 1}}) as cc:
+        trainer = ModelTrainer(cc, seed=0)
+        # tile 12 LR -> 48 HR; 50 → 48, 1 → 0
+        assert cfg().task.origin["x"] == 48 and cfg().task.origin["y"] == 0
+
+
+def test_inference_with_data_downsample(tmp_path):
+    """The scaling_results sweep path: inference artifacts carry the _ds
+    suffix and model/interp losses are finite under degradation."""
+    import sys
+    sys.argv = ["t"]
+    from sres_tpu.controller import ResultStructure, WorkflowController
+    ConfigContext.set_defaults(platform="local", task="synthetic-tiles-48",
+                               dataset="synthetic", pipeline="sres")
+    over = {
+        "platform.root": str(tmp_path),
+        "dataset.image_size": {"y": 144, "x": 144}, "dataset.ntimes": 4,
+        "dataset.nan_fraction": 0.0,
+        "task.tile_size": {"x": 12, "y": 12}, "task.batch_size": 4,
+        "task.nepochs": 2, "task.ttsplit": {"train": 0.75, "valid": 0.25, "test": 0.0},
+        "model.nfeatures": 16, "model.nlayers": 2, "pipeline.precision": "f32",
+    }
+    controller = WorkflowController("sres", dict(task="synthetic-tiles-48",
+                                                 dataset="synthetic", pipeline="sres",
+                                                 platform="local"), interp_loss=True)
+    controller.train(["edsr"], **over)
+    controller2 = WorkflowController("sres", {})
+    controller2.initialize("sres", "edsr", **dict(
+        task="synthetic-tiles-48", dataset="synthetic", pipeline="sres",
+        platform="local"), **over, **{"task.data_downsample": 1.25})
+    results, losses = controller2.inference(0, ResultStructure.Tiles)
+    assert np.isfinite(losses["SST"]["model"]) and losses["SST"]["interpolated"] > 0
+    import glob
+    assert glob.glob(f"{tmp_path}/results/inference/synthetic/synthetic-tiles-48/*_ds-1.25.nc")
