@@ -10,29 +10,33 @@ NW, T, C, H = 8, 64, 64, 4
 HD = C // H
 
 
-def _ref(x, wqkv, bqkv, wo, bo, bias):
+def _ref(x, wqkv, bqkv, wo, bo, bias, mask):
     nw, t, c = x.shape
     qkv = x.reshape(nw * t, c) @ wqkv + bqkv
     qkv = qkv.reshape(nw, t, 3, H, HD).transpose(2, 0, 3, 1, 4)
     q, k, v = qkv[0], qkv[1], qkv[2]
-    s = jnp.einsum("whqd,whkd->whqk", q, k) * (HD ** -0.5) + bias[None]
+    s = jnp.einsum("whqd,whkd->whqk", q, k) * (HD ** -0.5) + bias[None] + mask[:, None]
     p = jax.nn.softmax(s, axis=-1)
     o = jnp.einsum("whqk,whkd->whqd", p, v)
     o = o.transpose(0, 2, 1, 3).reshape(nw * t, c)
     return (o @ wo + bo).reshape(nw, t, c)
 
 
-def _inputs(seed=0):
+def _inputs(seed=0, masked=False):
     rng = np.random.default_rng(seed)
     mk = lambda *s: jnp.asarray(rng.normal(scale=0.1, size=s).astype(np.float32))
-    return (mk(NW, T, C), mk(C, 3 * C), mk(1, 3 * C), mk(C, C), mk(1, C), mk(H, T, T))
+    mask = jnp.where(mk(NW, T, T) > 0.1, -100.0, 0.0) if masked \
+        else jnp.zeros((NW, T, T), jnp.float32)
+    return (mk(NW, T, C), mk(C, 3 * C), mk(1, 3 * C), mk(C, C), mk(1, C),
+            mk(H, T, T), mask)
 
 
 def test_forward_matches():
-    args = _inputs()
-    y = fused_window_attention(*args, H)
-    yr = _ref(*args)
-    np.testing.assert_allclose(np.asarray(y), np.asarray(yr), rtol=3e-5, atol=3e-5)
+    for masked in (False, True):
+        args = _inputs(masked=masked)
+        y = fused_window_attention(*args, H)
+        yr = _ref(*args)
+        np.testing.assert_allclose(np.asarray(y), np.asarray(yr), rtol=3e-5, atol=3e-5)
 
 
 def test_gradients_match():

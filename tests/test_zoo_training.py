@@ -58,7 +58,7 @@ def test_swinir_trains(tmp_path):
         "task.batch_size": 2,
         "task.ttsplit": {"train": 1.0, "valid": 0.0, "test": 0.0},
         "model.nlayers": 1, "model.nblocks": 2, "model.nfeatures": 32,
-        "model.window_size": 8, "model.num_heads": 2,
+        "model.window_size": 8, "model.num_heads": 2, "model.fused_attention": True,
         "pipeline.precision": "f32",
     }
     with ConfigContext("sres", model="swinir", **over) as cc:
