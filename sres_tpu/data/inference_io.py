@@ -34,6 +34,18 @@ class TSet(Enum):
     Upsample = "upsample"
 
 
+class srRes(Enum):
+    """Resolution tags (reference: sres/controller/config.py:13-22); kept for
+    API compatibility — this framework always synthesizes LR on device."""
+    Low = "lr"
+    High = "hr"
+    Raw = "raw"
+
+    @classmethod
+    def from_config(cls, sval: str) -> "srRes":
+        return {"low": cls.Low, "high": cls.High, "raw": cls.Raw}[sval]
+
+
 def results_path(varname: str, timestep, data_structure: ResultStructure, remove: bool = False) -> str:
     dsf = float(cfg().task.get("data_downsample", 1.0))
     dss = "" if dsf == 1.0 else f"_ds-{dsf:.2f}"

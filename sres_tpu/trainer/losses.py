@@ -50,6 +50,12 @@ def single_product_loss(prd: jnp.ndarray, tar: jnp.ndarray, weight: jnp.ndarray,
     raise ValueError(f"Unknown loss_fn {loss_fn}")
 
 
+def psnr(rmse: Union[float, jnp.ndarray], data_range: Union[float, jnp.ndarray] = 1.0):
+    """Peak signal-to-noise ratio from an RMSE (the north-star quality metric
+    alongside the reference's loss ratio)."""
+    return 20.0 * jnp.log10(data_range / jnp.maximum(rmse, 1e-12))
+
+
 def sr_loss(products: Output, targets: Union[jnp.ndarray, List[jnp.ndarray]],
             weight: jnp.ndarray, loss_fn: str) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """(sloss, mloss): sloss is the final-scale scalar metric; mloss the

@@ -332,7 +332,12 @@ class ModelTrainer:
                 self.checkpoint_manager.save_checkpoint(
                     self.state, epoch, 0, TSet.Validation, model_loss, interp_loss)
                 self.validation_loss = model_loss
-        losses = dict(model=model_loss, interpolated=interp_loss)
+        from sres_tpu.trainer.losses import psnr
+        tgt = self.target.get(tset)
+        drange = float(np.nanmax(tgt) - np.nanmin(tgt)) if tgt is not None else 1.0
+        losses = dict(model=model_loss, interpolated=interp_loss,
+                      model_psnr=float(psnr(model_loss, drange)),
+                      interpolated_psnr=float(psnr(interp_loss, drange)))
         results = {k: self._to_xa(getattr(self, k)[tset], upscaled=(k == "input"))
                    for k in ("input", "target", "product", "interp")}
         results = dict(input=results["input"], target=results["target"],

@@ -65,3 +65,33 @@ def import_rcan(torch_state: Dict[str, np.ndarray], nlayers: int, nblocks: int
     params["SPUpsample_0"] = ups
     params["Conv_2"] = {"Conv_0": _conv(tw, "tail.1")}
     return params
+
+
+def import_edsr(torch_state: Dict[str, np.ndarray], nlayers: int) -> Dict[str, Any]:
+    """Reference EDSR state dict → flax params for models/edsr.py
+    (edsr/network.py: head.0, body.{i}.body.{0,2} ResBlock convs,
+    body.{nlayers} trailing conv, tail.0.* upsampler, tail.1 output)."""
+    tw = torch_state
+    params: Dict[str, Any] = {"Conv_0": {"Conv_0": _conv(tw, "head.0")}}
+    for i in range(nlayers):
+        params[f"ResBlock_{i}"] = {
+            "Conv_0": {"Conv_0": _conv(tw, f"body.{i}.body.0")},
+            "Conv_1": {"Conv_0": _conv(tw, f"body.{i}.body.2")},
+        }
+    params["Conv_1"] = {"Conv_0": _conv(tw, f"body.{nlayers}")}
+    ups: Dict[str, Any] = {}
+    stage_names = [k for k in tw if k.startswith("tail.0.") and k.endswith(".weight")]
+    for i, key in enumerate(sorted(stage_names, key=lambda s: int(s.split(".")[2]))):
+        ups[f"Conv_{i}"] = {"Conv_0": _conv(tw, key[: -len(".weight")])}
+    params["SPUpsample_0"] = ups
+    params["Conv_2"] = {"Conv_0": _conv(tw, "tail.1")}
+    return params
+
+
+def import_model(name: str, torch_state: Dict[str, np.ndarray], model_cfg) -> Dict[str, Any]:
+    """Dispatch by model name (RCAN/EDSR supported so far)."""
+    if name == "rcan":
+        return import_rcan(torch_state, model_cfg["nlayers"], model_cfg["nblocks"])
+    if name == "edsr":
+        return import_edsr(torch_state, model_cfg["nlayers"])
+    raise NotImplementedError(f"torch import not implemented for '{name}'")

@@ -97,3 +97,33 @@ def test_import_tree_structure_matches():
     fresh = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 8, 8, 1)), train=False)["params"]
     restored = serialization.from_state_dict(fresh, params)
     assert jax.tree.structure(restored) == jax.tree.structure(fresh)
+
+
+def test_edsr_import_structure():
+    from flax import serialization
+    from sres_tpu.util.torch_import import import_model
+    rng = np.random.default_rng(2)
+    t = lambda *s: rng.normal(scale=0.1, size=s).astype(np.float32)
+    nf, nl = 8, 2
+    sd = {"head.0.weight": t(nf, 1, 3, 3), "head.0.bias": t(nf)}
+    for i in range(nl):
+        sd[f"body.{i}.body.0.weight"] = t(nf, nf, 3, 3)
+        sd[f"body.{i}.body.0.bias"] = t(nf)
+        sd[f"body.{i}.body.2.weight"] = t(nf, nf, 3, 3)
+        sd[f"body.{i}.body.2.bias"] = t(nf)
+    sd[f"body.{nl}.weight"] = t(nf, nf, 3, 3)
+    sd[f"body.{nl}.bias"] = t(nf)
+    sd["tail.0.0.weight"] = t(4 * nf, nf, 3, 3)
+    sd["tail.0.0.bias"] = t(4 * nf)
+    sd["tail.0.2.weight"] = t(4 * nf, nf, 3, 3)
+    sd["tail.0.2.bias"] = t(4 * nf)
+    sd["tail.1.weight"] = t(1, nf, 3, 3)
+    sd["tail.1.bias"] = t(1)
+    params = import_model("edsr", sd, dict(nlayers=nl))
+    mcfg = dict(name="edsr", nfeatures=nf, nlayers=nl, kernel_size=3,
+                downscale_factors=[2, 2])
+    model = build_model(mcfg, 1, 1, precision="f32")
+    fresh = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 8, 8, 1)), train=False)["params"]
+    from flax import serialization as ser
+    restored = ser.from_state_dict(fresh, params)
+    assert jax.tree.structure(restored) == jax.tree.structure(fresh)

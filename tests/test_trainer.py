@@ -77,7 +77,7 @@ def test_evaluate_and_process_image(tmp_path):
         trainer = ModelTrainer(cc, seed=0)
         trainer.train(nepochs=2, refresh_state=True, seed=0)
         results, losses = trainer.evaluate(TSet.Validation, update_model=True)
-        assert set(losses) == {"model", "interpolated"}
+        assert {"model", "interpolated"}.issubset(losses)
         assert results["model"].dims == ("tiles", "channels", "y", "x")
         assert results["model"].sizes["y"] == 48           # HR tile
         assert results["input"].sizes["y"] == 12           # LR tile
