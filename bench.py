@@ -70,10 +70,19 @@ def main() -> None:
            for _ in range(nbuf)]
     weight = jnp.ones((batch,), jnp.float32)
 
-    for i in range(args.warmup):
-        state, metrics = train_step(state, hrs[i % nbuf], weight)
-    float(metrics["mloss"])  # value fetch — block_until_ready can return early
-    # on experimental remote backends, so force real execution with a fetch
+    # warmup with one retry — the tunneled remote compiler occasionally
+    # returns a transient HTTP 500
+    for attempt in range(2):
+        try:
+            for i in range(args.warmup):
+                state, metrics = train_step(state, hrs[i % nbuf], weight)
+            float(metrics["mloss"])  # value fetch — block_until_ready can
+            # return early on experimental remote backends; force execution
+            break
+        except Exception:
+            if attempt == 1:
+                raise
+            time.sleep(10)
 
     t0 = time.perf_counter()
     for i in range(args.steps):

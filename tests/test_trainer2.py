@@ -153,3 +153,16 @@ def test_inference_with_data_downsample(tmp_path):
     assert np.isfinite(losses["SST"]["model"]) and losses["SST"]["interpolated"] > 0
     import glob
     assert glob.glob(f"{tmp_path}/results/inference/synthetic/synthetic-tiles-48/*_ds-1.25.nc")
+
+
+def test_test_split_eval(tmp_path):
+    """Final Test-set eval path (record_eval(nepochs, Test)) with a nonzero
+    test fraction (reference: dual_trainer.py:344)."""
+    over = {"dataset.ntimes": 8,
+            "task.ttsplit": {"train": 0.5, "valid": 0.25, "test": 0.25}}
+    with ctx(tmp_path, **over) as cc:
+        trainer = ModelTrainer(cc, seed=0)
+        trainer.train(nepochs=2, refresh_state=True, seed=0)
+        recs = trainer.results_accum.results
+        assert any(r.tset == TSet.Test for r in recs), \
+            [r.tset.value for r in recs]
