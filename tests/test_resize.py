@@ -71,3 +71,17 @@ def test_resize_explicit_size():
     y = resize(x, (25, 35), "bilinear")
     t = F.interpolate(torch.tensor(x.transpose(0, 3, 1, 2)), size=(25, 35), mode="bilinear")
     np.testing.assert_allclose(np.asarray(y)[..., 0], t.numpy()[:, 0], rtol=2e-5, atol=2e-5)
+
+
+def test_pixel_shuffle_matches_torch():
+    """NHWC pixel shuffle must reproduce torch's NCHW PixelShuffle channel
+    order (weights converted from reference checkpoints depend on it)."""
+    from sres_tpu.ops.shuffle import pixel_shuffle, pixel_unshuffle
+    rng = np.random.default_rng(4)
+    x = rng.normal(size=(2, 16, 4, 4)).astype(np.float32)  # NCHW, C=16, r=2
+    t = F.pixel_shuffle(torch.tensor(x), 2).numpy()
+    ours = np.asarray(pixel_shuffle(x.transpose(0, 2, 3, 1), 2)).transpose(0, 3, 1, 2)
+    np.testing.assert_array_equal(ours, t)
+    back = np.asarray(pixel_unshuffle(np.asarray(
+        pixel_shuffle(x.transpose(0, 2, 3, 1), 2)), 2))
+    np.testing.assert_array_equal(back, x.transpose(0, 2, 3, 1))
