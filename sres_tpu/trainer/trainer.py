@@ -533,6 +533,61 @@ class ModelTrainer:
                              for k, v in images.items()}
         return result
 
+    # --------------------------------------------- seam-free overlapped inference
+    def infer_region_seamless(self, ctime: TimeType, margin: int = 8, **kwargs
+                              ) -> Dict[str, Dict[str, LArray]]:
+        """Seam-free full-region inference: tiles are extracted with a
+        reflected halo of ``margin`` HR pixels so the network sees context
+        across tile borders; after SR the halos are cropped and only centers
+        are assembled (data/overlap.py). Margin must divide the scale factor.
+        Local norm schemes only (per-tile stats are window-local)."""
+        from sres_tpu.data.norm import denorm as denorm_fn, normalize_batch
+        from sres_tpu.data.overlap import extract_overlapped_tiles
+        assert margin % self.scale_factor == 0, \
+            f"margin {margin} must be a multiple of the scale {self.scale_factor}"
+        ntype = cfg().task.norm
+        assert ntype in ("lnorm", "lscale"), \
+            f"seamless inference supports local norm schemes, not '{ntype}'"
+        if self.domain != batchDomain.Tiles:
+            raise NotImplementedError("seamless inference requires a tiles-domain task")
+        if kwargs.get("update_model", False):
+            meta = self.checkpoint_manager.load_checkpoint(self.state, TSet.Validation,
+                                                           update_model=True)
+            if meta and "state" in meta:
+                self.state = meta["state"]
+
+        region = self.dataset.load_region_data(ctime)           # (C, Y, X) raw
+        grid = self.dataset.tile_grid
+        ishape = dict(c=region.shape[0], y=region.shape[1], x=region.shape[2])
+        gs = grid.get_grid_shape(image_shape=ishape)
+        roi = grid.get_active_region(image_shape=ishape)
+        active = region.data[:, roi["y"][0]:roi["y"][1], roi["x"][0]:roi["x"][1]]
+        ts_hr = grid.get_full_tile_size()
+        tiles, ids = extract_overlapped_tiles(active, ts_hr, gs, margin)
+        if tiles.shape[0] == 0:
+            return {}
+        normed, stats = normalize_batch(tiles, ntype, (0, tiles.shape[0]))
+
+        n = normed.shape[0]
+        pad_n = pad_to_multiple(n, self.ndata)
+        hr = np.zeros((pad_n,) + normed.shape[1:], np.float32)
+        hr[:n] = normed
+        weight = np.zeros((pad_n,), np.float32)
+        weight[:n] = 1.0
+        _, outputs = self._eval_step(self.state, jnp.asarray(hr), jnp.asarray(weight))
+        lr, out, tar, interp = [np.asarray(o)[:n] for o in jax.device_get(outputs)]
+
+        m, mlr = margin, margin // self.scale_factor
+        crop = lambda a, mm: a[:, :, mm:a.shape[2] - mm, mm:a.shape[3] - mm] if mm else a
+        batches = [dict(input=denorm_fn(crop(lr, mlr), stats),
+                        target=denorm_fn(crop(tar, m), stats),
+                        interpolated=denorm_fn(crop(interp, m), stats),
+                        model=denorm_fn(crop(out, m), stats))]
+        result: Dict[str, Dict[str, LArray]] = {}
+        for ivar, vname in enumerate(self.target_variables):
+            result[vname] = self.assemble_images(batches, ivar, ids, gs)
+        return result
+
     # ------------------------------------------------------------------ export
     def to_zarr(self, **kwargs) -> str:
         """Export the region dataset to a zarr store

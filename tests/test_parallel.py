@@ -112,3 +112,36 @@ def test_infer_region_multichip(tmp_path):
         both = np.isfinite(host) & np.isfinite(dev)
         np.testing.assert_allclose(dev[both], host[both], rtol=1e-4, atol=1e-4)
         assert (np.isnan(host) == np.isnan(dev)).all()
+
+
+def test_seamless_inference(tmp_path):
+    """Overlapped-halo inference: same region coverage as the grid path, no
+    shape surprises, NaN holes only at dropped land tiles."""
+    from sres_tpu.trainer import ModelTrainer
+    from sres_tpu.data.inference_io import TSet
+    ConfigContext.set_defaults(platform="local", task="synthetic-tiles-48",
+                               dataset="synthetic", pipeline="sres")
+    over = {
+        "platform.root": str(tmp_path),
+        "dataset.image_size": {"y": 192, "x": 144},
+        "dataset.ntimes": 3, "dataset.nan_fraction": 0.1,
+        "task.tile_size": {"x": 12, "y": 12}, "task.batch_size": 4,
+        "task.ttsplit": {"train": 1.0, "valid": 0.0, "test": 0.0},
+        "task.xyflip": False,
+        "model.nfeatures": 8, "model.nlayers": 1,
+        "pipeline.precision": "f32",
+    }
+    with ConfigContext("sres", model="edsr", **over) as cc:
+        trainer = ModelTrainer(cc, seed=0)
+        trainer.train(nepochs=2, refresh_state=True, seed=0)
+        trainer.init_data_timestamps()
+        ctime = trainer.data_timestamps[TSet.Train][0]
+        seamless = trainer.infer_region_seamless(ctime, margin=8)
+        img = seamless["SST"]["model"]
+        assert img.shape == (192, 144)
+        assert np.isfinite(img.data).sum() > 0
+        # input panel is the LR mosaic
+        assert seamless["SST"]["input"].shape == (48, 36)
+        # coverage identical to the non-overlapped device path
+        grid_img = trainer.infer_region(ctime)["SST"]["model"]
+        assert (np.isnan(grid_img.data) == np.isnan(img.data)).all()
