@@ -200,7 +200,9 @@ class ConfigContext:
 
     def __init__(self, name: str, **kwargs: Any):
         self.name = name
-        ConfigContext.configuration = dict(**self.defaults, **kwargs)
+        # dict-literal merge: kwargs override defaults (dict(**a, **b) raises
+        # on overlapping keys — a latent reference bug, workflow.py:23)
+        ConfigContext.configuration = {**self.defaults, **kwargs}
         self.model: str = self.get_config("model")
         self.pipeline: str = self.get_config("pipeline")
         self.platform: str = self.get_config("platform")
