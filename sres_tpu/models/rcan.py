@@ -27,7 +27,8 @@ class RCAN(nn.Module):
     kernel_size: int
     scale: int
     use_bias: bool = True
-    fused: bool = False     # use the fused-RCAB Pallas kernel
+    fused: bool = False       # use the fused-RCAB Pallas kernel
+    pervar_heads: bool = False  # separate output conv per target variable
     dtype: Optional[Any] = None
 
     @nn.compact
@@ -49,16 +50,25 @@ class RCAN(nn.Module):
         res = Conv(self.nfeatures, self.kernel_size, use_bias=self.use_bias, dtype=d)(res)
         res = res + x
         y = SPUpsample(self.scale, self.nfeatures, dtype=d)(res)
-        y = Conv(self.nchannels_out, self.kernel_size, use_bias=self.use_bias, dtype=d)(y)
+        if self.pervar_heads:
+            # shared trunk + independent per-variable reconstruction heads
+            # (BASELINE config #3: multi-variable joint SR)
+            heads = [Conv(1, self.kernel_size, use_bias=self.use_bias, dtype=d)(y)
+                     for _ in range(self.nchannels_out)]
+            y = jnp.concatenate(heads, axis=-1)
+        else:
+            y = Conv(self.nchannels_out, self.kernel_size, use_bias=self.use_bias, dtype=d)(y)
         return y.astype(jnp.float32)
 
 
 def build(model_cfg, nchannels_in: int, nchannels_out: int, dtype=None, temporal_features=None):
-    p = resolve_parms(model_cfg, dict(cbottleneck=2, nblocks=20, fused=False),
+    p = resolve_parms(model_cfg, dict(cbottleneck=2, nblocks=20, fused=False,
+                                      pervar_heads=False),
                       nchannels_in=nchannels_in, nchannels_out=nchannels_out)
     return RCAN(
         nchannels_in=p["nchannels_in"], nchannels_out=p["nchannels_out"],
         nfeatures=p["nfeatures"], nlayers=p["nlayers"], nblocks=p["nblocks"],
         cbottleneck=p["cbottleneck"], kernel_size=p["kernel_size"],
-        scale=p["scale"], use_bias=p["bias"], fused=bool(p["fused"]), dtype=dtype,
+        scale=p["scale"], use_bias=p["bias"], fused=bool(p["fused"]),
+        pervar_heads=bool(p["pervar_heads"]), dtype=dtype,
     )

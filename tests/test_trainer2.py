@@ -166,3 +166,18 @@ def test_test_split_eval(tmp_path):
         recs = trainer.results_accum.results
         assert any(r.tset == TSet.Test for r in recs), \
             [r.tset.value for r in recs]
+
+
+def test_pervar_heads_joint_sr(tmp_path):
+    """BASELINE config #3: stacked SSS+SST with shared trunk + per-variable
+    reconstruction heads."""
+    over = {
+        "task.input_variables": {"SSS": "s", "SST": "t"},
+        "task.target_variables": ["SSS", "SST"],
+        "model.nlayers": 1, "model.nblocks": 2, "model.nfeatures": 16,
+        "model.pervar_heads": True,
+    }
+    with ctx(tmp_path, model="rcan-10-10-64", **over) as cc:
+        trainer = ModelTrainer(cc, seed=0)
+        out = trainer.train(nepochs=2, refresh_state=True, seed=0)
+        assert np.isfinite(out["prediction"])
