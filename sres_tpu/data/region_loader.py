@@ -105,8 +105,16 @@ class RegionTileLoader:
 
     # -- batch + norm -----------------------------------------------------------
     def _timeslice_iter(self):
+        """Side-effect-free pass over every timeslice for sidecar stats.
+
+        Must NOT touch ``self.timeslice``/``self.time_index``: the sidecar is
+        computed lazily from inside ``select_batch`` on the first normalized
+        batch, and moving the current-timeslice pointer there would silently
+        swap which tiles the remaining batches of the epoch train on
+        (reference computes stats without the pointer too:
+        sres/base/source/swot/raw.py:89-106)."""
         for t in self.get_dset_time_indices():
-            yield self.load_timeslice(t)
+            yield self._load_tiles(t)
 
     def select_batch(self, tile_range: Tuple[int, int]) -> Optional[LArray]:
         ntiles = self.timeslice.shape[0]

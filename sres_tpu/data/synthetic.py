@@ -63,7 +63,9 @@ class SyntheticDataLoader(RegionTileLoader):
     def load_region(self, varname: str, time_index: int) -> np.ndarray:
         key = (varname, time_index)
         if key not in self._cache:
-            vseed = self.seed + abs(hash(varname)) % 10_000
+            # stable across processes (Python's hash() is randomized per run)
+            import zlib
+            vseed = self.seed + zlib.crc32(varname.encode()) % 10_000
             rng = np.random.default_rng(vseed)  # same spatial modes every t
             data = _field(rng, self.ny, self.nx, float(time_index))
             offset = {"SST": 15.0, "SSS": 35.0}.get(varname, 0.0)

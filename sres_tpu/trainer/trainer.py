@@ -15,6 +15,7 @@ rounded up to the mesh's data-axis size so every batch shards evenly.
 from __future__ import annotations
 
 import math
+import random
 import time
 from typing import Any, Dict, List, Optional, Tuple
 
@@ -84,6 +85,10 @@ class ModelTrainer:
         self.conform_to_data_grid()
         self.checkpoint_manager = CheckpointManager()
         self.dataset = BatchDataset(cfg().task, seed=seed)
+        # batch-shuffle rng: seeded, NOT the global random module — shuffle
+        # order must be reproducible across processes (multi-host training
+        # shards the same shuffled batch sequence on every host)
+        self._shuffle_rng = random.Random(seed)
         from concurrent.futures import ThreadPoolExecutor
         self._prefetch = (ThreadPoolExecutor(1, thread_name_prefix="timeslice-prefetch")
                           if bool(cfg().pipeline.get("prefetch", True)) else None)
@@ -175,6 +180,7 @@ class ModelTrainer:
         seed = kwargs.get("seed", 4456)
         interp_loss = kwargs.get("interp_loss", False)
         self.dataset.reseed(seed)
+        self._shuffle_rng = random.Random(seed)
         ckpt_period = int(cfg().pipeline.get("checkpoint_period", 1))
         epoch0, itime0, epoch_loss = 1, 0, 0.0
         train_start = time.time()
@@ -255,8 +261,9 @@ class ModelTrainer:
     def _tile_iterator(self, ctime: TimeType, randomize: bool = False) -> TileIterator:
         if self.domain == batchDomain.Tiles:
             timeslice = self.dataset.load_timeslice(ctime)
-            return TileIterator.get_iterator(ntiles=timeslice.sizes["tiles"], randomize=randomize)
-        return TileIterator.get_iterator(randomize=randomize)
+            return TileIterator.get_iterator(ntiles=timeslice.sizes["tiles"],
+                                             randomize=randomize, rng=self._shuffle_rng)
+        return TileIterator.get_iterator(randomize=randomize, rng=self._shuffle_rng)
 
     def _prefetch_next(self, times: List[TimeType], itime: int) -> None:
         """Warm the next timeslice on a worker thread so disk IO overlaps the

@@ -107,6 +107,61 @@ def test_swot_loader_end_to_end(tmp_path):
         assert batch.shape[0] <= 4 and "mean" in batch.attrs
 
 
+# --------------------------------------------------- lazy sidecar norm stats
+@pytest.mark.parametrize("scheme", ["tnorm", "gscale"])
+def test_lazy_sidecar_compute_does_not_move_timeslice(tmp_path, scheme):
+    """Regression (round-1 verdict): computing the norm-stats sidecar lazily
+    from inside select_batch iterated timeslices via load_timeslice, leaving
+    the current-timeslice pointer on the LAST dataset timeslice — every batch
+    of the epoch after the first silently trained on wrong tiles. Batches on
+    a fresh (lazily-computed) sidecar must equal batches with a pre-existing
+    cache."""
+    from sres_tpu.data.synthetic import SyntheticDataLoader
+
+    over = {"task.norm": scheme, "task.batch_size": 4,
+            "task.tile_size": {"x": 12, "y": 12}, "dataset.nan_fraction": 0.0,
+            "dataset.image_size": {"y": 144, "x": 144}, "dataset.ntimes": 3}
+    with synth_ctx(tmp_path, **over):
+        # pass 1: no sidecar on disk → select_batch triggers the lazy compute
+        fresh = SyntheticDataLoader(cfg().task)
+        assert fresh.sidecar.load() is None
+        fresh.load_timeslice(0)
+        b0_fresh = fresh.select_batch((0, 4))
+        assert fresh.time_index == 0, "sidecar compute moved the timeslice pointer"
+        b1_fresh = fresh.select_batch((4, 8))
+
+        # pass 2: sidecar cached on disk → no lazy compute, known-good path
+        warm = SyntheticDataLoader(cfg().task)
+        assert warm.sidecar.load() is not None
+        warm.load_timeslice(0)
+        b0_warm = warm.select_batch((0, 4))
+        b1_warm = warm.select_batch((4, 8))
+
+        np.testing.assert_array_equal(b0_fresh.data, b0_warm.data)
+        np.testing.assert_array_equal(b1_fresh.data, b1_warm.data)
+
+
+def test_tnorm_trainer_path_values(tmp_path):
+    """Value-level check of the tnorm path: batches coming out of the loader
+    equal hand-computed (tiles - sidecar_mean) / sidecar_std for the right
+    tile slice of the right timeslice."""
+    from sres_tpu.data.synthetic import SyntheticDataLoader
+
+    over = {"task.norm": "tnorm", "task.tile_size": {"x": 12, "y": 12},
+            "dataset.nan_fraction": 0.0,
+            "dataset.image_size": {"y": 144, "x": 144}, "dataset.ntimes": 3}
+    with synth_ctx(tmp_path, **over):
+        loader = SyntheticDataLoader(cfg().task)
+        # hand-compute the sidecar: mean-of-means / mean-of-vars over time
+        slices = [loader._load_tiles(t).data for t in loader.get_dset_time_indices()]
+        means = np.stack([s.mean(axis=(2, 3)) for s in slices]).mean(axis=0)  # (ntiles, C)
+        vars_ = np.stack([s.var(axis=(2, 3)) for s in slices]).mean(axis=0)
+        raw_t1 = loader.load_timeslice(1).data
+        batch = loader.select_batch((2, 6))
+        expect = (raw_t1[2:6] - means[2:6, :, None, None]) / np.sqrt(vars_[2:6, :, None, None])
+        np.testing.assert_allclose(batch.data, expect, rtol=1e-5, atol=1e-6)
+
+
 # ------------------------------------------------------------ tiles + dataset
 def test_tilegrid_geometry(tmp_path):
     with synth_ctx(tmp_path):
