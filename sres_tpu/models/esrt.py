@@ -76,6 +76,7 @@ class OneModule(nn.Module):
         x2 = OneConv(nf, nf // 2, dtype=d)(x1)
         cat = jnp.concatenate([Scale(1.0)(x2), Scale(1.0)(x1)], axis=-1)
         y = Conv(nf, 1, use_bias=False, dtype=d)(cat)        # alise (1x1)
+        y = nn.relu(y)                                       # BasicConv relu=True default
         y = CALayer(nf, 16, dtype=d)(y)
         y = Conv(nf, 3, use_bias=False, dtype=d)(y)          # layer4
         y = nn.relu(y)
@@ -103,6 +104,7 @@ class Updownblock(nn.Module):
                     "bilinear", align_corners=True).astype(x1.dtype)
         cat = jnp.concatenate([x4, high1], axis=-1)
         y = Conv(nf, 1, use_bias=False, dtype=d)(cat)        # alise2
+        y = nn.relu(y)                                       # BasicConv relu=True default
         y = CALayer(nf, 16, dtype=d)(y)
         y = OneModule(nf, dtype=d)(y)                         # alise
         return y + x
