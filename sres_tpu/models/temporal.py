@@ -16,12 +16,15 @@ def get_temporal_features(time: Optional[np.ndarray] = None) -> Optional[np.ndar
     timestamp; None for None input (the reference's default path)."""
     if time is None:
         return None
+    time = np.asarray(time)
+    is_dt = np.issubdtype(time.dtype, np.datetime64)
     t0, pi2 = time[0], 2 * np.pi
     sday, syear = [], []
     for t in time:
-        td = float((t - t0) / np.timedelta64(1, "D"))
+        # numeric time coords (synthetic/LLC4320 indices) count days
+        td = float((t - t0) / np.timedelta64(1, "D")) if is_dt else float(t - t0)
         sday.append((np.sin(td * pi2), np.cos(td * pi2)))
-        ty = float((t - t0) / np.timedelta64(365, "D"))
+        ty = (float((t - t0) / np.timedelta64(365, "D")) if is_dt else td / 365.0)
         syear.append((np.sin(ty * pi2), np.cos(ty * pi2)))
     feats = np.concatenate([np.array(x, np.float32) for x in (sday, syear)], axis=1)
     return feats

@@ -58,3 +58,26 @@ def replicated(mesh: Mesh) -> NamedSharding:
 
 def pad_to_multiple(n: int, m: int) -> int:
     return ((n + m - 1) // m) * m
+
+
+def host_batch_slice(nglobal: int) -> slice:
+    """This host's contiguous row range of the global padded batch. Every
+    host builds the same global batch order (seeded shuffle, see
+    trainer._shuffle_rng) and feeds only its slice to its devices."""
+    nproc, pid = jax.process_count(), jax.process_index()
+    assert nglobal % nproc == 0, f"global batch {nglobal} not divisible by {nproc} hosts"
+    per = nglobal // nproc
+    return slice(pid * per, (pid + 1) * per)
+
+
+def make_global_batch(batch: np.ndarray, mesh: Mesh, axis: str = "data"):
+    """Global (padded) host batch → a sharded jax.Array on the mesh's data
+    axis. Single-process: a plain sharded device_put. Multi-host: each
+    process transfers ONLY its slice of the batch
+    (jax.make_array_from_process_local_data), so input bandwidth scales with
+    hosts instead of every host pushing identical data (SURVEY §7 step 5)."""
+    sharding = batch_sharding(mesh, axis)
+    if jax.process_count() == 1:
+        return jax.device_put(batch, sharding)
+    local = np.ascontiguousarray(batch[host_batch_slice(batch.shape[0])])
+    return jax.make_array_from_process_local_data(sharding, local, batch.shape)

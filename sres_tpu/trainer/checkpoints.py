@@ -107,6 +107,8 @@ class CheckpointManager:
 
     def save_checkpoint(self, state: SRTrainState, epoch: int, itime: int,
                         tset: TSet, loss: float, interp_loss: float) -> str:
+        if jax.process_index() != 0:     # one writer per multi-host job
+            return self.checkpoint_path(tset)
         host_state = jax.device_get(state)
         payload = serialization.msgpack_serialize({
             "epoch": np.int64(epoch), "itime": np.int64(itime),

@@ -45,9 +45,10 @@ class StepConfig(NamedTuple):
     target_idx: Tuple[int, ...]   # channel indices of target variables
     nchannels_in: int
     has_bn: bool
+    ntemporal: int = 0            # >0: model takes per-batch time features
 
 
-def make_step_config(task, model_cfg, has_bn: bool) -> StepConfig:
+def make_step_config(task, model_cfg, has_bn: bool, ntemporal: int = 0) -> StepConfig:
     input_vars = list(task.input_variables)
     target_vars = list(task.target_variables)
     return StepConfig(
@@ -60,6 +61,7 @@ def make_step_config(task, model_cfg, has_bn: bool) -> StepConfig:
         target_idx=tuple(input_vars.index(v) for v in target_vars),
         nchannels_in=len(input_vars),
         has_bn=has_bn,
+        ntemporal=ntemporal,
     )
 
 
@@ -74,15 +76,18 @@ def prepare_inputs(hr_nchw: jnp.ndarray, sc: StepConfig) -> Tuple[jnp.ndarray, j
     return lr, target
 
 
-def _apply(model, params, batch_stats, lr, train: bool, sc: StepConfig):
+def _apply(model, params, batch_stats, lr, train: bool, sc: StepConfig,
+           temporal=None):
     variables = {"params": params}
+    kw = {"temporal": temporal} if sc.ntemporal > 0 else {}
     if sc.has_bn:
         variables["batch_stats"] = batch_stats
         if train:
-            out, mut = model.apply(variables, lr, train=True, mutable=["batch_stats"])
+            out, mut = model.apply(variables, lr, train=True,
+                                   mutable=["batch_stats"], **kw)
             return out, mut["batch_stats"]
-        return model.apply(variables, lr, train=False), batch_stats
-    return model.apply(variables, lr, train=train), batch_stats
+        return model.apply(variables, lr, train=False, **kw), batch_stats
+    return model.apply(variables, lr, train=train, **kw), batch_stats
 
 
 def _losses(out, target, weight, sc: StepConfig):
@@ -96,11 +101,13 @@ def build_train_step(model, optimizer: optax.GradientTransformation,
                      sc: StepConfig, mesh: Optional[Mesh] = None) -> Callable:
     """Returns train_step(state, hr_nchw, weight) -> (state, metrics)."""
 
-    def train_step(state: SRTrainState, hr: jnp.ndarray, weight: jnp.ndarray):
+    def train_step(state: SRTrainState, hr: jnp.ndarray, weight: jnp.ndarray,
+                   temporal: Optional[jnp.ndarray] = None):
         lr, target = prepare_inputs(hr, sc)
 
         def loss_fn(params):
-            out, new_bs = _apply(model, params, state.batch_stats, lr, True, sc)
+            out, new_bs = _apply(model, params, state.batch_stats, lr, True, sc,
+                                 temporal)
             sloss, mloss = _losses(out, target, weight, sc)
             return mloss, (sloss, new_bs)
 
@@ -120,10 +127,12 @@ def build_train_step(model, optimizer: optax.GradientTransformation,
 
     if mesh is not None:
         repl, bsh = replicated(mesh), batch_sharding(mesh)
-        return jax.jit(train_step, donate_argnums=0,
-                       in_shardings=(repl, bsh, bsh),
+        insh = (repl, bsh, bsh) + ((bsh,) if sc.ntemporal > 0 else ())
+        fn = train_step if sc.ntemporal > 0 else (lambda s, h, w: train_step(s, h, w))
+        return jax.jit(fn, donate_argnums=0,
+                       in_shardings=insh,
                        out_shardings=(repl, repl))
-    return jax.jit(train_step, donate_argnums=0)
+    return jax.jit(train_step, donate_argnums=0, static_argnums=())
 
 
 def build_eval_step(model, sc: StepConfig, mesh: Optional[Mesh] = None) -> Callable:
@@ -131,9 +140,11 @@ def build_eval_step(model, sc: StepConfig, mesh: Optional[Mesh] = None) -> Calla
     (metrics, (lr, out, target, interp)) with NCHW f32 outputs for the
     result-merging / image-assembly host path."""
 
-    def eval_step(state: SRTrainState, hr: jnp.ndarray, weight: jnp.ndarray):
+    def eval_step(state: SRTrainState, hr: jnp.ndarray, weight: jnp.ndarray,
+                  temporal: Optional[jnp.ndarray] = None):
         lr, target = prepare_inputs(hr, sc)
-        out, _ = _apply(model, state.params, state.batch_stats, lr, False, sc)
+        out, _ = _apply(model, state.params, state.batch_stats, lr, False, sc,
+                        temporal)
         sloss, mloss = _losses(out, target, weight, sc)
         interp = upsample(lr, float(sc.scale), sc.up_mode)
         interp_sloss, _ = _losses(interp, target, weight, sc)
@@ -144,25 +155,75 @@ def build_eval_step(model, sc: StepConfig, mesh: Optional[Mesh] = None) -> Calla
 
     if mesh is not None:
         repl, bsh = replicated(mesh), batch_sharding(mesh)
-        return jax.jit(eval_step,
-                       in_shardings=(repl, bsh, bsh),
+        insh = (repl, bsh, bsh) + ((bsh,) if sc.ntemporal > 0 else ())
+        fn = eval_step if sc.ntemporal > 0 else (lambda s, h, w: eval_step(s, h, w))
+        return jax.jit(fn,
+                       in_shardings=insh,
                        out_shardings=(repl, (bsh, bsh, bsh, bsh)))
     return jax.jit(eval_step)
 
 
 def build_optimizer(task) -> optax.GradientTransformation:
-    """Adam with the task lr / weight decay (reference: dual_trainer.py:126)."""
+    """Adam with the task lr / weight decay (reference: dual_trainer.py:126).
+
+    With ``task.scheduler`` configured the learning rate becomes an injected
+    hyperparameter updated once per epoch from the host (the reference steps
+    an injected torch scheduler per epoch: dual_trainer.py:278,333-334) —
+    no retrace, the compiled step reads the lr from the optimizer state."""
     lr = float(task.lr)
     wd = float(task.get("weight_decay", 0.0))
-    if wd > 0.0:
-        return optax.adamw(lr, weight_decay=wd)
-    return optax.adam(lr)
+    base = partial(optax.adamw, weight_decay=wd) if wd > 0.0 else optax.adam
+    if task.get("scheduler", None):
+        return optax.inject_hyperparams(base)(learning_rate=lr)
+    return base(lr)
+
+
+def lr_at_epoch(task, epochs_completed: int) -> float:
+    """Learning rate after ``epochs_completed`` per-epoch scheduler steps,
+    following torch scheduler semantics (StepLR/MultiStepLR/ExponentialLR/
+    CosineAnnealingLR). ``task.scheduler``:
+      {type: step, step_size: N, gamma: g}
+      {type: multistep, milestones: [..], gamma: g}
+      {type: exponential, gamma: g}
+      {type: cosine, t_max: N, eta_min: m}
+    """
+    lr0 = float(task.lr)
+    sched = task.get("scheduler", None)
+    if not sched:
+        return lr0
+    stype = sched["type"]
+    e = max(0, int(epochs_completed))
+    if stype == "step":
+        return lr0 * float(sched.get("gamma", 0.1)) ** (e // int(sched["step_size"]))
+    if stype == "multistep":
+        passed = sum(1 for m in sched["milestones"] if e >= int(m))
+        return lr0 * float(sched.get("gamma", 0.1)) ** passed
+    if stype == "exponential":
+        return lr0 * float(sched["gamma"]) ** e
+    if stype == "cosine":
+        t_max = int(sched["t_max"])
+        eta_min = float(sched.get("eta_min", 0.0))
+        return eta_min + 0.5 * (lr0 - eta_min) * (1.0 + math.cos(math.pi * e / t_max))
+    raise ValueError(f"Unknown scheduler type: {stype}")
+
+
+def set_learning_rate(state: SRTrainState, lr: float) -> SRTrainState:
+    """Write the injected lr hyperparameter into the optimizer state
+    (no-op when the optimizer was built without a scheduler)."""
+    opt = state.opt_state
+    if hasattr(opt, "hyperparams") and "learning_rate" in opt.hyperparams:
+        hp = dict(opt.hyperparams)
+        hp["learning_rate"] = jnp.asarray(lr, jnp.float32)
+        return state.replace(opt_state=opt._replace(hyperparams=hp))
+    return state
 
 
 def init_state(model, optimizer, sample_lr: jnp.ndarray, seed: int,
                temporal=None) -> Tuple[SRTrainState, bool]:
-    """Initialize params (+batch_stats) and optimizer state."""
-    kwargs = {}
+    """Initialize params (+batch_stats) and optimizer state. ``temporal``
+    (B, ntf) shapes the UNet bottleneck for time-feature injection
+    (reference: unet/network.py:44-56)."""
+    kwargs = {} if temporal is None else {"temporal": temporal}
     variables = model.init(jax.random.PRNGKey(seed), sample_lr, train=False, **kwargs)
     params = variables["params"]
     batch_stats = variables.get("batch_stats", {})

@@ -33,7 +33,8 @@ from sres_tpu.parallel.mesh import get_mesh, pad_to_multiple
 from sres_tpu.trainer.checkpoints import CheckpointManager
 from sres_tpu.trainer.results import ResultsAccumulator
 from sres_tpu.trainer.step import (SRTrainState, build_eval_step, build_optimizer,
-                                   build_train_step, init_state, make_step_config)
+                                   build_train_step, init_state, lr_at_epoch,
+                                   make_step_config, set_learning_rate)
 from sres_tpu.util.larray import LArray
 from sres_tpu.util.logging import lgm
 
@@ -70,21 +71,38 @@ class ModelTrainer:
         self.batch_size: int = cfg().task.batch_size
         self.pad_size: int = pad_to_multiple(self.batch_size, self.ndata)
 
+        self.conform_to_data_grid()
+        self.dataset = BatchDataset(cfg().task, seed=seed)
+
+        # temporal features: sin/cos day+year phases per dataset timestamp,
+        # injected at the UNet bottleneck (reference: manager.py:30-54,
+        # unet/network.py:44-56 — a dead path there; live here)
+        self.temporal_features: Optional[np.ndarray] = None
+        self._time_pos: Dict[Any, int] = {}
+        if bool(cfg().model.get("use_temporal_features", False)):
+            from sres_tpu.models.temporal import get_temporal_features
+            times = list(self.dataset.get_batch_time_coords())
+            self.temporal_features = get_temporal_features(np.asarray(times))
+            self._time_pos = {t: i for i, t in enumerate(times)}
+        ntemporal = 0 if self.temporal_features is None else self.temporal_features.shape[1]
+
         precision = cfg().pipeline.get("precision", "bf16")
         self.model = build_model(cfg().model, len(self.input_variables),
-                                 len(self.target_variables), precision=precision)
+                                 len(self.target_variables), precision=precision,
+                                 temporal_features=self.temporal_features)
         self.optimizer = build_optimizer(cfg().task)
 
         tsz = cfg().task.tile_size
         sample_lr = jnp.zeros((1, tsz["y"], tsz["x"], len(self.input_variables)), jnp.float32)
-        self.state, has_bn = init_state(self.model, self.optimizer, sample_lr, seed)
-        self.step_config = make_step_config(cfg().task, cfg().model, has_bn)
+        sample_t = None if ntemporal == 0 else jnp.zeros((1, ntemporal), jnp.float32)
+        self.state, has_bn = init_state(self.model, self.optimizer, sample_lr, seed,
+                                        temporal=sample_t)
+        self.step_config = make_step_config(cfg().task, cfg().model, has_bn,
+                                            ntemporal=ntemporal)
         self._train_step = build_train_step(self.model, self.optimizer, self.step_config, self.mesh)
         self._eval_step = build_eval_step(self.model, self.step_config, self.mesh)
 
-        self.conform_to_data_grid()
         self.checkpoint_manager = CheckpointManager()
-        self.dataset = BatchDataset(cfg().task, seed=seed)
         # batch-shuffle rng: seeded, NOT the global random module — shuffle
         # order must be reproducible across processes (multi-host training
         # shards the same shuffled batch sequence on every host)
@@ -107,6 +125,48 @@ class ModelTrainer:
         self.interp: Dict[TSet, Optional[np.ndarray]] = {}
 
     # ------------------------------------------------------------- utilities
+    def _temporal_arg(self, ctime, n: int):
+        """Per-batch (n, ntf) time-feature rows for the current timeslice
+        (None when temporal features are disabled)."""
+        if self.step_config.ntemporal == 0:
+            return None
+        feat = self.temporal_features[self._time_pos.get(ctime, 0)]
+        return np.broadcast_to(np.asarray(feat, np.float32)[None, :],
+                               (n, feat.shape[0]))
+
+    def _shard_inputs(self, *arrays):
+        """Multi-host: each process transfers only its slice of the global
+        batch (parallel/mesh.py:make_global_batch); single-process passes
+        through untouched (jit device-puts against in_shardings)."""
+        if jax.process_count() == 1:
+            return arrays
+        from sres_tpu.parallel.mesh import make_global_batch
+        return tuple(a if a is None else make_global_batch(np.asarray(a), self.mesh)
+                     for a in arrays)
+
+    def _run_train_step(self, hr, weight, ctime):
+        n = hr.shape[0]
+        if self.step_config.ntemporal:
+            hr, weight, t = self._shard_inputs(hr, weight, self._temporal_arg(ctime, n))
+            return self._train_step(self.state, hr, weight, t)
+        hr, weight = self._shard_inputs(hr, weight)
+        return self._train_step(self.state, hr, weight)
+
+    def _run_eval_step(self, hr, weight, ctime):
+        n = hr.shape[0]
+        if self.step_config.ntemporal:
+            hr, weight, t = self._shard_inputs(hr, weight, self._temporal_arg(ctime, n))
+            metrics, outputs = self._eval_step(self.state, hr, weight, t)
+        else:
+            hr, weight = self._shard_inputs(hr, weight)
+            metrics, outputs = self._eval_step(self.state, hr, weight)
+        if jax.process_count() > 1:
+            # eval outputs are batch-sharded; the host-side result merge needs
+            # the full global arrays on every host
+            from jax.experimental import multihost_utils
+            outputs = multihost_utils.process_allgather(outputs, tiled=True)
+        return metrics, outputs
+
     @property
     def nparams(self) -> int:
         return sum(int(np.prod(p.shape)) for p in jax.tree.leaves(self.state.params))
@@ -203,6 +263,10 @@ class ModelTrainer:
         interp_epoch_loss = 0.0
         for epoch in range(epoch0, nepochs):
             epoch_start = time.time()
+            if cfg().task.get("scheduler", None):
+                # per-epoch scheduler step (reference: dual_trainer.py:333-334)
+                self.state = set_learning_rate(
+                    self.state, lr_at_epoch(cfg().task, epoch - 1))
             train_times = self.data_timestamps[TSet.Train]
             nts = len(train_times)
             lgm().log(f" ----- Epoch {epoch}/{nepochs} nts={nts} ----- ", display=True)
@@ -222,7 +286,7 @@ class ModelTrainer:
                         if batch is None:
                             break
                         hr, weight, nvalid = self._pad_batch(batch)
-                        self.state, metrics = self._train_step(self.state, hr, weight)
+                        self.state, metrics = self._run_train_step(hr, weight, ctime)
                         metrics_list.append(metrics)
                 m = self._metrics_to_host(metrics_list)
                 if len(m.get("sloss", ())) == 0:
@@ -320,7 +384,7 @@ class ModelTrainer:
                 if batch is None:
                     break
                 hr, weight, nvalid = self._pad_batch(batch)
-                metrics, outputs = self._eval_step(self.state, hr, weight)
+                metrics, outputs = self._run_eval_step(hr, weight, ctime)
                 m = jax.device_get(metrics)
                 model_losses.append(float(m["sloss"]))
                 interp_losses.append(float(m["interp_sloss"]))
@@ -408,7 +472,7 @@ class ModelTrainer:
             if batch is None:
                 break
             hr, weight, nvalid = self._pad_batch(batch)
-            metrics, outputs = self._eval_step(self.state, hr, weight)
+            metrics, outputs = self._run_eval_step(hr, weight, ctime)
             m = jax.device_get(metrics)
             model_losses.append(float(m["sloss"]))
             interp_losses.append(float(m["interp_sloss"]))
@@ -581,7 +645,7 @@ class ModelTrainer:
         hr[:n] = normed
         weight = np.zeros((pad_n,), np.float32)
         weight[:n] = 1.0
-        _, outputs = self._eval_step(self.state, jnp.asarray(hr), jnp.asarray(weight))
+        _, outputs = self._run_eval_step(jnp.asarray(hr), jnp.asarray(weight), ctime)
         lr, out, tar, interp = [np.asarray(o)[:n] for o in jax.device_get(outputs)]
 
         m, mlr = margin, margin // self.scale_factor

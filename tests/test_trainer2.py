@@ -181,3 +181,63 @@ def test_pervar_heads_joint_sr(tmp_path):
         trainer = ModelTrainer(cc, seed=0)
         out = trainer.train(nepochs=2, refresh_state=True, seed=0)
         assert np.isfinite(out["prediction"])
+
+
+def test_lr_schedule_math():
+    """torch scheduler semantics (reference injects a torch scheduler and
+    steps it per epoch: dual_trainer.py:278,333-334)."""
+    from sres_tpu.trainer.step import lr_at_epoch
+
+    class T(dict):
+        lr = 1e-2
+        def get(self, k, d=None): return dict.get(self, k, d)
+
+    t = T(scheduler={"type": "step", "step_size": 2, "gamma": 0.1})
+    assert [lr_at_epoch(t, e) for e in range(5)] == \
+        pytest.approx([1e-2, 1e-2, 1e-3, 1e-3, 1e-4])
+    t = T(scheduler={"type": "multistep", "milestones": [1, 3], "gamma": 0.5})
+    assert [lr_at_epoch(t, e) for e in range(4)] == \
+        pytest.approx([1e-2, 5e-3, 5e-3, 2.5e-3])
+    t = T(scheduler={"type": "exponential", "gamma": 0.9})
+    assert lr_at_epoch(t, 2) == pytest.approx(1e-2 * 0.81)
+    t = T(scheduler={"type": "cosine", "t_max": 10})
+    assert lr_at_epoch(t, 0) == pytest.approx(1e-2)
+    assert lr_at_epoch(t, 10) == pytest.approx(0.0, abs=1e-12)
+    t = T()
+    assert lr_at_epoch(t, 7) == pytest.approx(1e-2)
+
+
+def test_lr_scheduler_applied_in_training(tmp_path):
+    """task.scheduler drives the injected lr hyperparameter per epoch."""
+    over = {"task.scheduler": {"type": "step", "step_size": 1, "gamma": 0.1},
+            "task.lr": 1e-2}
+    with ctx(tmp_path, **over) as cc:
+        trainer = ModelTrainer(cc, seed=0)
+        trainer.train(nepochs=3, refresh_state=True, seed=0)
+        # epochs 1,2 ran; last epoch (2) used lr0 * 0.1^(2-1)
+        lr = float(trainer.state.opt_state.hyperparams["learning_rate"])
+        assert lr == pytest.approx(1e-3)
+
+
+def test_temporal_features_end_to_end(tmp_path):
+    """model.use_temporal_features wires dataset timestamps -> sin/cos
+    day+year features -> UNet bottleneck (reference contract:
+    manager.py:30-54, unet/network.py:44-56). The param tree must change
+    shape (bottleneck reserves channels) and training must run."""
+    import jax
+    over = {"model.use_temporal_features": True, "model.nlayers": 2,
+            "task.tile_size": {"x": 16, "y": 16},
+            "dataset.image_size": {"y": 192, "x": 192}}
+    with ctx(tmp_path, model="unet", **over) as cc:
+        t_on = ModelTrainer(cc, seed=0)
+        assert t_on.step_config.ntemporal == 4
+        assert t_on.temporal_features.shape == (4, 4)   # (ntimes, feats)
+        out = t_on.train(nepochs=2, refresh_state=True, seed=0)
+        assert np.isfinite(out["prediction"])
+        shapes_on = [p.shape for p in jax.tree.leaves(t_on.state.params)]
+    over["model.use_temporal_features"] = False
+    with ctx(tmp_path, model="unet", **over) as cc2:
+        t_off = ModelTrainer(cc2, seed=0)
+        assert t_off.step_config.ntemporal == 0
+        shapes_off = [p.shape for p in jax.tree.leaves(t_off.state.params)]
+    assert shapes_on != shapes_off
