@@ -1,0 +1,18 @@
+"""lapsrn on cape_basin_1x1 / LLC4320 (reference: scripts/train/train-lapsrn.py)."""
+from typing import Any, Dict, List
+from sres_tpu.controller import WorkflowController
+
+cname: str = "sres"
+models: List[str] = ["lapsrn"]
+ccustom: Dict[str, Any] = {'task.nepochs': 300, 'task.lr': 0.0001}
+
+configuration = dict(
+    task="cape_basin_1x1",
+    dataset="LLC4320",
+    pipeline="sres",
+    platform="explore",
+)
+
+if __name__ == "__main__":
+    controller = WorkflowController(cname, configuration, interp_loss=True)
+    controller.train(models, **ccustom)

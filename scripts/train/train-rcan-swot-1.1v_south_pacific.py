@@ -1,0 +1,18 @@
+"""rcan-10-20-64 on SST-tiles-48 / swot_south_pacific (reference: scripts/train/train-rcan-swot-1.1v_south_pacific.py)."""
+from typing import Any, Dict, List
+from sres_tpu.controller import WorkflowController
+
+cname: str = "sres"
+models: List[str] = ["rcan-10-20-64"]
+ccustom: Dict[str, Any] = {'task.nepochs': 10}
+
+configuration = dict(
+    task="SST-tiles-48",
+    dataset="swot_south_pacific",
+    pipeline="sres",
+    platform="explore",
+)
+
+if __name__ == "__main__":
+    controller = WorkflowController(cname, configuration, interp_loss=True)
+    controller.train(models, **ccustom)

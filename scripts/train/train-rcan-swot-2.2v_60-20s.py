@@ -1,0 +1,18 @@
+"""rcan-10-20-64 on SSS_SST-tiles-48 / swot_60-20s (reference: scripts/train/train-rcan-swot-2.2v_60-20s.py)."""
+from typing import Any, Dict, List
+from sres_tpu.controller import WorkflowController
+
+cname: str = "sres"
+models: List[str] = ["rcan-10-20-64"]
+ccustom: Dict[str, Any] = {'task.nepochs': 100, 'task.lr': 0.0001}
+
+configuration = dict(
+    task="SSS_SST-tiles-48",
+    dataset="swot_60-20s",
+    pipeline="sres",
+    platform="explore",
+)
+
+if __name__ == "__main__":
+    controller = WorkflowController(cname, configuration, interp_loss=True)
+    controller.train(models, **ccustom)

@@ -1,0 +1,18 @@
+"""unet on cape_basin_1x1 / LLC4320 (reference: scripts/train/train-unet.py)."""
+from typing import Any, Dict, List
+from sres_tpu.controller import WorkflowController
+
+cname: str = "sres"
+models: List[str] = ["unet"]
+ccustom: Dict[str, Any] = {'task.nepochs': 1000, 'task.lr': 5e-05}
+
+configuration = dict(
+    task="cape_basin_1x1",
+    dataset="LLC4320",
+    pipeline="sres",
+    platform="explore",
+)
+
+if __name__ == "__main__":
+    controller = WorkflowController(cname, configuration, interp_loss=True)
+    controller.train(models, **ccustom)
