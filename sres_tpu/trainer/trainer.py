@@ -238,7 +238,10 @@ class ModelTrainer:
         if nepochs == 0:
             return {}
         seed = kwargs.get("seed", 4456)
-        interp_loss = kwargs.get("interp_loss", False)
+        # NOTE: the reference's interp_loss kwarg gates the bicubic baseline;
+        # here the baseline is always computed inside the compiled step (it is
+        # <1% of step time — PERF.md — and feeds the headline loss%% metric),
+        # so the kwarg is accepted but has no effect.
         self.dataset.reseed(seed)
         self._shuffle_rng = random.Random(seed)
         ckpt_period = int(cfg().pipeline.get("checkpoint_period", 1))

@@ -32,3 +32,12 @@ def cscale(data, nsigma: float = 2.0):
     import numpy as np
     mean, std = float(np.nanmean(data)), float(np.nanstd(data))
     return mean - nsigma * std, mean + nsigma * std
+
+
+def _vbox(ipw, widgets, fig):
+    """Widget box with the figure canvas when the backend is widget-capable
+    (ipympl); plain figure otherwise (headless/Agg tests)."""
+    try:
+        return ipw.VBox(widgets + [fig.canvas])
+    except Exception:
+        return fig

@@ -80,3 +80,28 @@ def test_training_plot_builds(tmp_path, monkeypatch):
             results_accum = accum
         fig = TrainingPlot(FakeTrainer())
         assert fig.plot() is not None
+
+
+def test_legacy_viz_modules():
+    """forecast/multiscale/training_results browsers (reference:
+    sres/view/{plot/forecast,multiscale,training_results}.py) build against
+    LArray results headlessly."""
+    import matplotlib
+    matplotlib.use("Agg")
+    from sres_tpu.util.larray import LArray
+    from sres_tpu.view.forecast import mplplot as forecast_plot
+    from sres_tpu.view.multiscale import mplplot as multiscale_plot
+    from sres_tpu.view.training_results import mplplot_error, rmse_per_tile
+
+    rng = np.random.default_rng(0)
+    mk = lambda: LArray(rng.normal(size=(3, 2, 8, 8)).astype(np.float32),
+                        ["tiles", "channels", "y", "x"],
+                        coords=dict(channels=["SSS", "SST"]))
+    target, model = mk(), mk()
+    assert forecast_plot(target, ["SSS", "SST"], product=model) is not None
+    assert multiscale_plot({"target": target, "model": model}) is not None
+    canvas = mplplot_error(target, model, ["SSS", "SST"],
+                           norms={"SST": {"mean": 15.0, "std": 2.0}})
+    assert canvas is not None
+    err = rmse_per_tile(target.data[:, 0] - model.data[:, 0])
+    assert err.shape == (3,) and np.all(err > 0)
