@@ -37,6 +37,9 @@ def main() -> None:
     p.add_argument("--nlayers", type=int, default=10)
     p.add_argument("--nblocks", type=int, default=20)
     p.add_argument("--nfeatures", type=int, default=64)
+    p.add_argument("--lane_pack", type=int, default=1)
+    p.add_argument("--fused", action="store_true",
+                   help="fused Pallas residual-group kernel (packed trunk)")
     args = p.parse_args()
 
     import jax
@@ -50,7 +53,8 @@ def main() -> None:
 
     mcfg = dict(name="rcan", nfeatures=args.nfeatures, nlayers=args.nlayers,
                 nblocks=args.nblocks, cbottleneck=2, kernel_size=3,
-                downscale_factors=[2, 2], loss_fn="l2")
+                downscale_factors=[2, 2], loss_fn="l2", lane_pack=args.lane_pack,
+                fused=args.fused)
     precision = "f32" if args.f32 else "bf16"
     model = build_model(mcfg, 1, 1, precision=precision)
     sc = StepConfig(scale=4, downscale_factors=(2, 2), down_mode="bicubic",
@@ -99,7 +103,7 @@ def main() -> None:
         "vs_baseline": round(per_chip / A100_BASELINE_TILES_PER_SEC, 3),
         "detail": {
             "devices": ndev, "batch": batch, "steps": args.steps,
-            "precision": precision, "step_ms": round(1000 * dt / args.steps, 2),
+            "precision": precision, "lane_pack": args.lane_pack, "fused": args.fused, "step_ms": round(1000 * dt / args.steps, 2),
             "loss": loss_val,
             "baseline_estimate": "A100 eager fp32 reference loop ≈ 135 tiles/s (see docstring)",
         },

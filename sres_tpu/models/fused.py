@@ -8,6 +8,7 @@ from __future__ import annotations
 
 from typing import Any, Optional
 
+import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
@@ -39,3 +40,93 @@ class FusedRCAB(nn.Module):
                        wd.astype(cd), bd.astype(jnp.float32),
                        wu.astype(cd), bu.astype(jnp.float32))
         return y.astype(x.dtype)
+
+
+class FusedResidualGroup(nn.Module):
+    """Whole residual group through the lane-packed Pallas kernel
+    (ops/pallas/residual_group.py). Input activations are PACKED
+    (T, H, W, 128) — two tiles' channels side by side (layers.pack_tiles).
+
+    Params are the stacked logical tensors (w1/w2: (NB,3,3,64,64), CA
+    wd/wu, trailing group conv wg) with torch-default inits — identical
+    math to nblocks × RCAB + conv + skip (reference rcan/network.py:67-80);
+    ``residual_group_params_to_fused`` converts a nested ResidualGroup tree.
+    """
+    features: int            # logical features (64)
+    reduction: int
+    nblocks: int
+    dtype: Optional[Any] = None
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        from sres_tpu.ops.pallas.residual_group import (
+            fused_residual_group, pad_to_kernel_layout, unpad_from_kernel_layout)
+        c, nb = self.features, self.nblocks
+        cr = c // self.reduction
+        fan33 = c * 9
+        stack_init = lambda init, fan: (
+            lambda k, s, d=jnp.float32: jnp.stack(
+                [init(kk, s[1:], d) if fan is None else
+                 torch_bias_init(kk, s[1:], d, fan)
+                 for kk in jax.random.split(k, s[0])]))
+        w1 = self.param("w1", stack_init(torch_kernel_init, None), (nb, 3, 3, c, c))
+        b1 = self.param("b1", stack_init(None, fan33), (nb, 1, c))
+        w2 = self.param("w2", stack_init(torch_kernel_init, None), (nb, 3, 3, c, c))
+        b2 = self.param("b2", stack_init(None, fan33), (nb, 1, c))
+        wd = self.param("wd", stack_init(torch_kernel_init, None), (nb, 1, 1, c, cr))
+        bd = self.param("bd", stack_init(None, c), (nb, 1, cr))
+        wu = self.param("wu", stack_init(torch_kernel_init, None), (nb, 1, 1, cr, c))
+        bu = self.param("bu", stack_init(None, cr), (nb, 1, c))
+        wg = self.param("wg", torch_kernel_init, (3, 3, c, c), jnp.float32)
+        bg = self.param("bg", lambda k, s, d=jnp.float32:
+                        torch_bias_init(k, s, d, fan33), (1, c))
+
+        t, h, w, cc = x.shape
+        assert cc == 2 * c, f"FusedResidualGroup expects packed C={2*c}, got {cc}"
+        cd = self.dtype or x.dtype
+
+        def bd2(wk):  # (..., 3,3,c,c) → (..., 9, 2c, 2c) block-diagonal
+            w9 = wk.reshape(wk.shape[:-4] + (9, wk.shape[-2], wk.shape[-1]))
+            z = jnp.zeros(w9.shape[:-2] + (2 * w9.shape[-2], 2 * w9.shape[-1]),
+                          w9.dtype)
+            z = z.at[..., :w9.shape[-2], :w9.shape[-1]].set(w9)
+            return z.at[..., w9.shape[-2]:, w9.shape[-1]:].set(w9)
+
+        def bd1(wk):  # (..., 1,1,a,b) → (..., 2a, 2b) block-diagonal
+            wm = wk.reshape(wk.shape[:-4] + wk.shape[-2:])
+            z = jnp.zeros(wm.shape[:-2] + (2 * wm.shape[-2], 2 * wm.shape[-1]),
+                          wm.dtype)
+            z = z.at[..., :wm.shape[-2], :wm.shape[-1]].set(wm)
+            return z.at[..., wm.shape[-2]:, wm.shape[-1]:].set(wm)
+
+        tile2 = lambda b: jnp.concatenate([b, b], axis=-1)
+        xp = pad_to_kernel_layout(x.astype(cd))
+        y = fused_residual_group(
+            xp,
+            bd2(w1).astype(cd), tile2(b1).astype(jnp.float32),
+            bd2(w2).astype(cd), tile2(b2).astype(jnp.float32),
+            bd1(wd).astype(cd), tile2(bd).astype(jnp.float32),
+            bd1(wu).astype(cd), tile2(bu).astype(jnp.float32),
+            bd2(wg).astype(cd), tile2(bg).astype(jnp.float32),
+            nb, h, w)
+        return unpad_from_kernel_layout(y, h, w).astype(x.dtype)
+
+
+def residual_group_params_to_fused(rg_params, nblocks: int):
+    """Nested ResidualGroup param tree (layers.py) → FusedResidualGroup's
+    stacked tree, for checkpoint interop between the two trunk paths."""
+    import numpy as np
+    g = lambda b, p: rg_params[f"RCAB_{b}"][p]
+    stack = lambda f: jnp.stack([f(b) for b in range(nblocks)])
+    return {
+        "w1": stack(lambda b: g(b, "Conv_0")["Conv_0"]["kernel"]),
+        "b1": stack(lambda b: g(b, "Conv_0")["Conv_0"]["bias"][None]),
+        "w2": stack(lambda b: g(b, "Conv_1")["Conv_0"]["kernel"]),
+        "b2": stack(lambda b: g(b, "Conv_1")["Conv_0"]["bias"][None]),
+        "wd": stack(lambda b: g(b, "CALayer_0")["Conv_0"]["Conv_0"]["kernel"]),
+        "bd": stack(lambda b: g(b, "CALayer_0")["Conv_0"]["Conv_0"]["bias"][None]),
+        "wu": stack(lambda b: g(b, "CALayer_0")["Conv_1"]["Conv_0"]["kernel"]),
+        "bu": stack(lambda b: g(b, "CALayer_0")["Conv_1"]["Conv_0"]["bias"][None]),
+        "wg": rg_params["Conv_0"]["Conv_0"]["kernel"],
+        "bg": rg_params["Conv_0"]["Conv_0"]["bias"][None],
+    }

@@ -30,19 +30,81 @@ def torch_bias_init(key, shape, dtype, fan_in: int):
     return jax.random.uniform(key, shape, dtype, -bound, bound)
 
 
+def pack_tiles(x: jnp.ndarray, pack: int) -> jnp.ndarray:
+    """(B, H, W, C) → (B/pack, H, W, C·pack): `pack` tiles' channels side by
+    side so convs run with full 128-lane MXU occupancy (PERF.md lane packing;
+    measured 1.22× on the RCAN trunk at pack=2, C=64)."""
+    b, h, w, c = x.shape
+    return x.reshape(b // pack, pack, h, w, c).transpose(0, 2, 3, 1, 4) \
+            .reshape(b // pack, h, w, pack * c)
+
+
+def unpack_tiles(x: jnp.ndarray, pack: int) -> jnp.ndarray:
+    b, h, w, pc = x.shape
+    return x.transpose(0, 3, 1, 2).reshape(b, pack, pc // pack, h, w) \
+            .transpose(0, 1, 3, 4, 2).reshape(b * pack, h, w, pc // pack)
+
+
+class _PackedConvCore(nn.Module):
+    """Conv whose params are the LOGICAL (k,k,cin,cout) kernel but whose
+    application is the block-diagonal expansion over `pack` channel groups —
+    numerically identical to running each packed tile separately, checkpoint-
+    compatible with nn.Conv's {kernel, bias} tree (instantiated with
+    name='Conv_0' so packed and unpacked models share param trees)."""
+    features: int             # logical output features
+    kernel_size: int
+    pack: int
+    stride: int = 1
+    use_bias: bool = True
+    dtype: Optional[Dtype] = None
+    padding: Any = None
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        k, p = self.kernel_size, self.pack
+        cin = x.shape[-1] // p
+        kernel = self.param("kernel", torch_kernel_init, (k, k, cin, self.features))
+        fan_in = cin * k * k
+        bias = self.param("bias", lambda key, shape, dt=jnp.float32:
+                          torch_bias_init(key, shape, dt, fan_in),
+                          (self.features,)) if self.use_bias else None
+        # block-diagonal expansion: group g maps channels [g·cin, (g+1)·cin)
+        # → [g·cout, (g+1)·cout); off-diagonal blocks are zero
+        big = jnp.zeros((k, k, cin * p, self.features * p), kernel.dtype)
+        for g in range(p):
+            big = big.at[:, :, g * cin:(g + 1) * cin,
+                         g * self.features:(g + 1) * self.features].set(kernel)
+        dt = self.dtype or x.dtype
+        pad = self.padding if self.padding is not None else [(k // 2, k // 2)] * 2
+        dn = jax.lax.conv_dimension_numbers(x.shape, big.shape,
+                                            ("NHWC", "HWIO", "NHWC"))
+        y = jax.lax.conv_general_dilated(
+            x.astype(dt), big.astype(dt), (self.stride, self.stride), pad,
+            dimension_numbers=dn, preferred_element_type=dt)
+        if bias is not None:
+            y = y + jnp.tile(bias, p).astype(dt)
+        return y
+
+
 class Conv(nn.Module):
     """2D conv with torch-default init and 'same' padding for odd kernels
-    (reference default_conv: sres/model/common/cnn.py:8)."""
+    (reference default_conv: sres/model/common/cnn.py:8). ``pack`` > 1 runs
+    the block-diagonal lane-packed variant with an identical param tree."""
     features: int
     kernel_size: int = 3
     stride: int = 1
     use_bias: bool = True
     dtype: Optional[Dtype] = None
     padding: Any = None   # default: torch's k//2 zero padding
+    pack: int = 1
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         k = self.kernel_size
+        if self.pack > 1:
+            return _PackedConvCore(
+                self.features, k, self.pack, self.stride, self.use_bias,
+                self.dtype, self.padding, name="Conv_0")(x)
         pad = self.padding if self.padding is not None else [(k // 2, k // 2)] * 2
         fan_in = x.shape[-1] * k * k
         return nn.Conv(
@@ -120,13 +182,14 @@ class CALayer(nn.Module):
     channels: int
     reduction: int = 16
     dtype: Optional[Dtype] = None
+    pack: int = 1
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         y = jnp.mean(x, axis=(1, 2), keepdims=True)
-        y = Conv(self.channels // self.reduction, 1, dtype=self.dtype)(y)
+        y = Conv(self.channels // self.reduction, 1, dtype=self.dtype, pack=self.pack)(y)
         y = nn.relu(y)
-        y = Conv(self.channels, 1, dtype=self.dtype)(y)
+        y = Conv(self.channels, 1, dtype=self.dtype, pack=self.pack)(y)
         return x * jax.nn.sigmoid(y)
 
 
@@ -136,13 +199,14 @@ class RCAB(nn.Module):
     kernel_size: int = 3
     reduction: int = 16
     dtype: Optional[Dtype] = None
+    pack: int = 1
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
-        r = Conv(self.features, self.kernel_size, dtype=self.dtype)(x)
+        r = Conv(self.features, self.kernel_size, dtype=self.dtype, pack=self.pack)(x)
         r = nn.relu(r)
-        r = Conv(self.features, self.kernel_size, dtype=self.dtype)(r)
-        r = CALayer(self.features, self.reduction, dtype=self.dtype)(r)
+        r = Conv(self.features, self.kernel_size, dtype=self.dtype, pack=self.pack)(r)
+        r = CALayer(self.features, self.reduction, dtype=self.dtype, pack=self.pack)(r)
         return x + r
 
 
@@ -153,13 +217,15 @@ class ResidualGroup(nn.Module):
     reduction: int
     nblocks: int
     dtype: Optional[Dtype] = None
+    pack: int = 1
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         r = x
         for _ in range(self.nblocks):
-            r = RCAB(self.features, self.kernel_size, self.reduction, dtype=self.dtype)(r)
-        r = Conv(self.features, self.kernel_size, dtype=self.dtype)(r)
+            r = RCAB(self.features, self.kernel_size, self.reduction,
+                     dtype=self.dtype, pack=self.pack)(r)
+        r = Conv(self.features, self.kernel_size, dtype=self.dtype, pack=self.pack)(r)
         return x + r
 
 

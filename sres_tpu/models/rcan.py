@@ -13,7 +13,8 @@ from typing import Any, Optional, Sequence
 import jax.numpy as jnp
 from flax import linen as nn
 
-from sres_tpu.models.layers import Conv, ResidualGroup, SPUpsample
+from sres_tpu.models.layers import (Conv, ResidualGroup, SPUpsample, pack_tiles,
+                                    unpack_tiles)
 from sres_tpu.models.registry import resolve_parms
 
 
@@ -29,26 +30,40 @@ class RCAN(nn.Module):
     use_bias: bool = True
     fused: bool = False       # use the fused-RCAB Pallas kernel
     pervar_heads: bool = False  # separate output conv per target variable
+    lane_pack: int = 1        # tiles packed per image in the trunk (PERF.md)
     dtype: Optional[Any] = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
         d = self.dtype
         x = Conv(self.nfeatures, self.kernel_size, use_bias=self.use_bias, dtype=d)(x)
-        res = x
+        # lane packing: run the trunk on `lane_pack` tiles' channels at once
+        # so 64-feature convs fill all 128 MXU lanes — numerically identical
+        # (block-diagonal weights), same param tree. Pad an uneven batch.
+        # The fused Pallas group kernel operates on packed activations only.
+        pk = 2 if self.fused else self.lane_pack
+        pk = pk if x.shape[0] >= pk else 1
+        bpad = (-x.shape[0]) % pk
+        if pk > 1 and bpad:
+            x = jnp.concatenate([x, jnp.zeros((bpad,) + x.shape[1:], x.dtype)], 0)
+        res = pack_tiles(x, pk) if pk > 1 else x
+        skip = res
         for _ in range(self.nlayers):
-            if self.fused:
-                from sres_tpu.models.fused import FusedRCAB
-                g = res
-                for _ in range(self.nblocks):
-                    g = FusedRCAB(self.nfeatures, self.cbottleneck, dtype=d)(g)
-                g = Conv(self.nfeatures, self.kernel_size, dtype=d)(g)
-                res = res + g
+            if self.fused and pk == 2:
+                from sres_tpu.models.fused import FusedResidualGroup
+                res = FusedResidualGroup(self.nfeatures, self.cbottleneck,
+                                         self.nblocks, dtype=d)(res)
             else:
                 res = ResidualGroup(self.nfeatures, self.kernel_size,
-                                    self.cbottleneck, self.nblocks, dtype=d)(res)
-        res = Conv(self.nfeatures, self.kernel_size, use_bias=self.use_bias, dtype=d)(res)
-        res = res + x
+                                    self.cbottleneck, self.nblocks, dtype=d,
+                                    pack=pk)(res)
+        res = Conv(self.nfeatures, self.kernel_size, use_bias=self.use_bias,
+                   dtype=d, pack=pk)(res)
+        res = res + skip
+        if pk > 1:
+            res = unpack_tiles(res, pk)
+            if bpad:
+                res = res[: res.shape[0] - bpad]
         y = SPUpsample(self.scale, self.nfeatures, dtype=d)(res)
         if self.pervar_heads:
             # shared trunk + independent per-variable reconstruction heads
@@ -63,12 +78,13 @@ class RCAN(nn.Module):
 
 def build(model_cfg, nchannels_in: int, nchannels_out: int, dtype=None, temporal_features=None):
     p = resolve_parms(model_cfg, dict(cbottleneck=2, nblocks=20, fused=False,
-                                      pervar_heads=False),
+                                      pervar_heads=False, lane_pack=1),
                       nchannels_in=nchannels_in, nchannels_out=nchannels_out)
     return RCAN(
         nchannels_in=p["nchannels_in"], nchannels_out=p["nchannels_out"],
         nfeatures=p["nfeatures"], nlayers=p["nlayers"], nblocks=p["nblocks"],
         cbottleneck=p["cbottleneck"], kernel_size=p["kernel_size"],
         scale=p["scale"], use_bias=p["bias"], fused=bool(p["fused"]),
-        pervar_heads=bool(p["pervar_heads"]), dtype=dtype,
+        pervar_heads=bool(p["pervar_heads"]), lane_pack=int(p["lane_pack"]),
+        dtype=dtype,
     )

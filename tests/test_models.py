@@ -70,3 +70,34 @@ def test_param_count_rcan_canonical():
 def test_unknown_model_raises():
     with pytest.raises(KeyError):
         build_model({"name": "nope"}, 1, 1)
+
+
+def test_rcan_lane_pack_equivalence():
+    """model.lane_pack=2 (block-diagonal trunk convs on two tiles' packed
+    channels — the MXU lane-occupancy optimization, PERF.md) is numerically
+    equivalent to the unpacked model and shares its param tree."""
+    import jax
+    import jax.numpy as jnp
+    mcfg = dict(name="rcan", nfeatures=16, nlayers=2, nblocks=2, cbottleneck=2,
+                kernel_size=3, downscale_factors=[2, 2])
+    m1 = build_model(mcfg, 1, 1, precision="f32")
+    m2 = build_model({**mcfg, "lane_pack": 2}, 1, 1, precision="f32")
+    x = jax.random.normal(jax.random.PRNGKey(1), (6, 12, 12, 1), jnp.float32)
+    v1 = m1.init(jax.random.PRNGKey(0), x, train=False)
+    v2 = m2.init(jax.random.PRNGKey(0), x, train=False)
+    assert jax.tree.structure(v1) == jax.tree.structure(v2)
+    y1 = m1.apply(v1, x, train=False)
+    y2 = m2.apply(v1, x, train=False)   # same params through the packed path
+    np.testing.assert_allclose(np.asarray(y1), np.asarray(y2), rtol=2e-6, atol=2e-6)
+    # odd batch exercises the internal pad/unpad
+    xo = x[:5]
+    np.testing.assert_allclose(np.asarray(m2.apply(v1, xo, train=False)),
+                               np.asarray(m1.apply(v1, xo, train=False)),
+                               rtol=2e-6, atol=2e-6)
+    # gradients must match too (training runs packed)
+    def loss(m, v, x):
+        return jnp.sum(m.apply(v, x, train=False) ** 2)
+    g1 = jax.grad(lambda v: loss(m1, v, x))(v1)
+    g2 = jax.grad(lambda v: loss(m2, v, x))(v1)
+    for a, b in zip(jax.tree.leaves(g1), jax.tree.leaves(g2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-5)
