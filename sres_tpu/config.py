@@ -264,3 +264,29 @@ def cfg2args(csection: str, pnames: List[str]) -> Dict[str, Any]:
             v = node.get(pn)
             args[pn] = None if str(v) == "None" else v
     return args
+
+
+def cfg2meta(csection: str, meta: Any, on_missing: str = "ignore") -> Any:
+    """Copy a config section's entries onto an object's attributes
+    (reference: sres/base/util/config.py:109-125)."""
+    node: Any = cfg()
+    for part in csection.split("."):
+        node = node.get(part) if node is not None else None
+    if node is None:
+        print(f"Warning: section '{csection}' does not exist in configuration")
+        return None
+    for k, v in dict(node).items():
+        valid = True
+        if getattr(meta, k, None) is None and on_missing != "ignore":
+            msg = f"Attribute '{k}' does not exist in metadata object"
+            if on_missing.startswith("warn"):
+                print("Warning: " + msg)
+            elif on_missing == "skip":
+                valid = False
+            elif on_missing.startswith("excep"):
+                raise Exception(msg)
+            else:
+                raise Exception(f"Unknown on_missing value in cfg2meta: {on_missing}")
+        if valid:
+            setattr(meta, k, v)
+    return meta

@@ -109,3 +109,43 @@ def concat(arrays: Sequence[LArray], dim: str) -> LArray:
     if dim in coords:
         coords[dim] = np.concatenate([np.asarray(a.coords[dim]) for a in arrays])
     return LArray(data, arrays[0].dims, coords, dict(arrays[0].attrs))
+
+
+# -- coordinate-value helpers (reference: sres/base/util/config.py:159-199) --
+def index_of_value(array, target_value: float) -> int:
+    import numpy as _np
+    return int(_np.abs(_np.asarray(array) - target_value).argmin())
+
+
+def closest_value(array, target_value: float) -> float:
+    import numpy as _np
+    a = _np.asarray(array)
+    return float(a[_np.abs(a - target_value).argmin()])
+
+
+def get_coord_bounds(coord) -> tuple:
+    import numpy as _np
+    c = _np.asarray(coord)
+    dc = c[1] - c[0]
+    return float(c[0]), float(c[-1] + dc)
+
+
+def get_data_coords(data: "LArray", target_coords: dict) -> dict:
+    """Snap requested coordinate values onto the array's actual grid."""
+    return {dim: closest_value(data.coords[dim], cval)
+            for dim, cval in target_coords.items()}
+
+
+def get_data_indices(data: "LArray", target_coords: dict) -> dict:
+    return {dim: index_of_value(data.coords[dim], cval)
+            for dim, cval in target_coords.items()}
+
+
+def cdelta(data: "LArray") -> dict:
+    import numpy as _np
+    out = {}
+    for k, c in data.coords.items():
+        c = _np.asarray(c)
+        if c.size > 1 and _np.issubdtype(c.dtype, _np.number):
+            out[k] = float(c[1] - c[0])
+    return out

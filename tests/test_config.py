@@ -48,3 +48,36 @@ def test_missing_group_raises():
     import pytest
     with pytest.raises(ValueError):
         compose("sres", {"platform": "local"})
+
+
+def test_cfg2meta_and_coord_helpers(tmp_path):
+    from sres_tpu.config import ConfigContext, cfg2meta
+    from sres_tpu.util.larray import (LArray, cdelta, closest_value,
+                                      get_coord_bounds, get_data_coords,
+                                      get_data_indices, index_of_value)
+    import numpy as np
+
+    ConfigContext.set_defaults(platform="local", task="synthetic-tiles-48",
+                               dataset="synthetic", pipeline="sres")
+    with ConfigContext("sres", model="edsr", **{"platform.root": str(tmp_path)}):
+        class Meta:
+            batch_size = 0
+            lr = 0.0
+        # on_missing='skip' copies only attributes that already exist
+        # (reference semantics: config.py:109-125)
+        m = cfg2meta("task", Meta(), on_missing="skip")
+        assert m.batch_size == 36 and float(m.lr) == 1e-4
+        assert not hasattr(m, "__nonexistent__")
+        m2 = cfg2meta("task", Meta(), on_missing="ignore")
+        assert m2.nepochs == cfg().task.nepochs   # ignore copies everything
+        assert cfg2meta("nonexistent", Meta()) is None
+
+    coord = np.array([0.0, 0.5, 1.0, 1.5])
+    assert index_of_value(coord, 0.6) == 1
+    assert closest_value(coord, 1.2) == 1.0
+    assert get_coord_bounds(coord) == (0.0, 2.0)
+    arr = LArray(np.zeros((4, 3), np.float32), ["y", "x"],
+                 coords=dict(y=coord, x=np.array([10.0, 20.0, 30.0])))
+    assert get_data_coords(arr, {"y": 0.7, "x": 24.0}) == {"y": 0.5, "x": 20.0}
+    assert get_data_indices(arr, {"y": 0.7, "x": 24.0}) == {"y": 1, "x": 1}
+    assert cdelta(arr) == {"y": 0.5, "x": 10.0}
