@@ -41,8 +41,10 @@ class RCAN(nn.Module):
         # so 64-feature convs fill all 128 MXU lanes — numerically identical
         # (block-diagonal weights), same param tree. Pad an uneven batch.
         # The fused Pallas group kernel operates on packed activations only.
-        pk = 2 if self.fused else self.lane_pack
-        pk = pk if x.shape[0] >= pk else 1
+        # fused ALWAYS packs (param tree must not depend on batch size — init
+        # runs at batch 1 and relies on the internal pad); plain lane_pack
+        # shares the unpacked tree so it may downgrade for tiny batches
+        pk = 2 if self.fused else (self.lane_pack if x.shape[0] >= self.lane_pack else 1)
         bpad = (-x.shape[0]) % pk
         if pk > 1 and bpad:
             x = jnp.concatenate([x, jnp.zeros((bpad,) + x.shape[1:], x.dtype)], 0)

@@ -32,9 +32,13 @@ def _interpret() -> bool:
     return jax.default_backend() != "tpu"
 
 
-def _block_w(nw: int) -> int:
+def _block_w(nw: int, t: int = 64) -> int:
+    """Windows per grid block, capped so the per-head (BW, T, T) scores the
+    backward keeps resident stay within VMEM (16×16 windows → T=256 needs
+    16× smaller blocks than the 8×8 default)."""
+    cap = max(1, (32 * 64 * 64) // (t * t))
     for cand in (32, 16, 8, 4, 2, 1):
-        if nw % cand == 0:
+        if cand <= cap and nw % cand == 0:
             return cand
     return 1
 
@@ -143,7 +147,7 @@ def _specs(shapes):
 
 def _fwd_call(x, wqkv, bqkv, wo, bo, bias, mask, heads: int):
     nw, t, c = x.shape
-    BW = _block_w(nw)
+    BW = _block_w(nw, t)
     kern = functools.partial(_fwd_kernel, heads=heads, BW=BW)
     return pl.pallas_call(
         kern, grid=(nw // BW,),
@@ -160,7 +164,7 @@ def _fwd_call(x, wqkv, bqkv, wo, bo, bias, mask, heads: int):
 def _bwd_call(x, g, wqkv, bqkv, wo, bo, bias, mask, heads: int):
     nw, t, c = x.shape
     h = heads
-    BW = _block_w(nw)
+    BW = _block_w(nw, t)
     kern = functools.partial(_bwd_kernel, heads=heads, BW=BW)
     f32 = jnp.float32
     out_shape = (

@@ -54,3 +54,41 @@ def test_gradients_match():
     for n, a, b in zip(names, gf, gr):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-3, atol=1e-4,
                                    err_msg=f"grad mismatch: {n}")
+
+
+def test_fused_window_attention_16x16_windows():
+    """16x16 windows (T=256) — the block-size cap keeps per-head score
+    tensors VMEM-resident (round-1 verdict roadmap #4)."""
+    import jax
+    import jax.numpy as jnp
+    from sres_tpu.ops.pallas.window_attention import fused_window_attention
+
+    nw, t, c, h = 4, 256, 64, 4
+    k = jax.random.PRNGKey(0)
+    ks = jax.random.split(k, 6)
+    x = jax.random.normal(ks[0], (nw, t, c), jnp.float32) * 0.3
+    wqkv = jax.random.normal(ks[1], (c, 3 * c), jnp.float32) * 0.05
+    bqkv = jnp.zeros((1, 3 * c))
+    wo = jax.random.normal(ks[2], (c, c), jnp.float32) * 0.05
+    bo = jnp.zeros((1, c))
+    bias = jax.random.normal(ks[3], (h, t, t), jnp.float32) * 0.02
+    mask = jnp.zeros((nw, t, t), jnp.float32)
+
+    def ref(x):
+        hd = c // h
+        qkv = (x.reshape(nw * t, c) @ wqkv + bqkv).reshape(nw, t, 3, h, hd)
+        qkv = qkv.transpose(2, 0, 3, 1, 4)
+        q, kk, v = qkv[0], qkv[1], qkv[2]
+        s = jnp.einsum("whqd,whkd->whqk", q, kk) * hd ** -0.5 + bias[None]
+        p = jax.nn.softmax(s, axis=-1)
+        o = jnp.einsum("whqk,whkd->whqd", p, v)
+        o = o.transpose(0, 2, 1, 3).reshape(nw * t, c)
+        return (o @ wo + bo).reshape(nw, t, c)
+
+    y = fused_window_attention(x, wqkv, bqkv, wo, bo, bias, mask, h)
+    np.testing.assert_allclose(np.asarray(y), np.asarray(ref(x)),
+                               rtol=3e-5, atol=3e-5)
+    g1 = jax.grad(lambda x: jnp.sum(
+        fused_window_attention(x, wqkv, bqkv, wo, bo, bias, mask, h) ** 2))(x)
+    g2 = jax.grad(lambda x: jnp.sum(ref(x) ** 2))(x)
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), rtol=1e-3, atol=1e-3)
