@@ -130,3 +130,35 @@ def residual_group_params_to_fused(rg_params, nblocks: int):
         "wg": rg_params["Conv_0"]["Conv_0"]["kernel"],
         "bg": rg_params["Conv_0"]["Conv_0"]["bias"][None],
     }
+
+
+def rcan_params_to_fused(params, nlayers: int, nblocks: int):
+    """Unfused RCAN param tree → the fused model's tree (trunk groups
+    converted, everything else shared). Enables serving/resuming unfused
+    checkpoints with model.fused=true."""
+    out = {k: v for k, v in params.items() if not k.startswith("ResidualGroup_")}
+    for g in range(nlayers):
+        out[f"FusedResidualGroup_{g}"] = residual_group_params_to_fused(
+            params[f"ResidualGroup_{g}"], nblocks)
+    return out
+
+
+def rcan_params_from_fused(params, nlayers: int, nblocks: int):
+    """Inverse of rcan_params_to_fused."""
+    out = {k: v for k, v in params.items()
+           if not k.startswith("FusedResidualGroup_")}
+    for g in range(nlayers):
+        f = params[f"FusedResidualGroup_{g}"]
+        group = {}
+        for b in range(nblocks):
+            group[f"RCAB_{b}"] = {
+                "Conv_0": {"Conv_0": {"kernel": f["w1"][b], "bias": f["b1"][b, 0]}},
+                "Conv_1": {"Conv_0": {"kernel": f["w2"][b], "bias": f["b2"][b, 0]}},
+                "CALayer_0": {
+                    "Conv_0": {"Conv_0": {"kernel": f["wd"][b], "bias": f["bd"][b, 0]}},
+                    "Conv_1": {"Conv_0": {"kernel": f["wu"][b], "bias": f["bu"][b, 0]}},
+                },
+            }
+        group["Conv_0"] = {"Conv_0": {"kernel": f["wg"], "bias": f["bg"][0]}}
+        out[f"ResidualGroup_{g}"] = group
+    return out

@@ -41,9 +41,12 @@ def _interpret() -> bool:
 
 
 def _geom(h: int, w: int) -> Tuple[int, int, int, int]:
-    """(P buffer rows, S first interior row, M matmul rows, Wp padded width)."""
+    """(P buffer rows, S first interior row, M matmul rows, Wp padded width).
+    P is rounded up to a multiple of 128 — Mosaic requires block/slice dims
+    aligned to the sublane tiling; the extra rows stay zero."""
     hp, wp = h + 2, w + 2
-    return hp * wp, wp + 1, (h - 1) * wp + w, wp
+    p = ((hp * wp + 127) // 128) * 128
+    return p, wp + 1, (h - 1) * wp + w, wp
 
 
 def interior_mask(h: int, w: int) -> np.ndarray:
@@ -55,15 +58,18 @@ def interior_mask(h: int, w: int) -> np.ndarray:
 
 
 def pad_to_kernel_layout(x: jnp.ndarray) -> jnp.ndarray:
-    """(T, H, W, C) → (T, (H+2)(W+2), C) zero-padded flattened layout."""
+    """(T, H, W, C) → (T, P, C) zero-padded flattened layout (P 128-aligned)."""
     t, h, w, c = x.shape
+    p = _geom(h, w)[0]
     xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
-    return xp.reshape(t, (h + 2) * (w + 2), c)
+    flat = xp.reshape(t, (h + 2) * (w + 2), c)
+    return jnp.pad(flat, ((0, 0), (0, p - flat.shape[1]), (0, 0)))
 
 
 def unpad_from_kernel_layout(y: jnp.ndarray, h: int, w: int) -> jnp.ndarray:
     t, p, c = y.shape
-    return y.reshape(t, h + 2, w + 2, c)[:, 1:1 + h, 1:1 + w, :]
+    core = y[:, :(h + 2) * (w + 2), :]
+    return core.reshape(t, h + 2, w + 2, c)[:, 1:1 + h, 1:1 + w, :]
 
 
 def _taps(wp: int):

@@ -81,3 +81,29 @@ def test_rcan_fused_group_equivalence():
     y_f = m_fused.apply({"params": pf}, x, train=False)
     np.testing.assert_allclose(np.asarray(y_f), np.asarray(y_ref),
                                rtol=5e-5, atol=5e-5)
+
+
+def test_rcan_fused_checkpoint_roundtrip():
+    """Unfused ↔ fused RCAN param-tree conversion round-trips and the
+    converted trees restore into freshly-initialized models."""
+    import jax
+    from flax import serialization
+    from sres_tpu.models import build_model
+    from sres_tpu.models.fused import rcan_params_from_fused, rcan_params_to_fused
+    mcfg = dict(name="rcan", nfeatures=64, nlayers=2, nblocks=2, cbottleneck=2,
+                kernel_size=3, downscale_factors=[2, 2])
+    m_ref = build_model(mcfg, 1, 1, precision="f32")
+    m_fused = build_model({**mcfg, "fused": True}, 1, 1, precision="f32")
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 8, 8, 1), jnp.float32)
+    pu = m_ref.init(jax.random.PRNGKey(1), x, train=False)["params"]
+    pf = rcan_params_to_fused(pu, 2, 2)
+    fresh_f = m_fused.init(jax.random.PRNGKey(2), x, train=False)["params"]
+    restored = serialization.from_state_dict(fresh_f, serialization.to_state_dict(pf))
+    assert jax.tree.structure(restored) == jax.tree.structure(fresh_f)
+    back = rcan_params_from_fused(pf, 2, 2)
+    for a, b in zip(jax.tree.leaves(back), jax.tree.leaves(pu)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # and the fused model with converted params equals the unfused model
+    y1 = m_ref.apply({"params": pu}, x, train=False)
+    y2 = m_fused.apply({"params": pf}, x, train=False)
+    np.testing.assert_allclose(np.asarray(y2), np.asarray(y1), rtol=5e-5, atol=5e-5)
