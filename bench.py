@@ -37,7 +37,7 @@ def main() -> None:
     p.add_argument("--nlayers", type=int, default=10)
     p.add_argument("--nblocks", type=int, default=20)
     p.add_argument("--nfeatures", type=int, default=64)
-    p.add_argument("--lane_pack", type=int, default=1)
+    p.add_argument("--lane_pack", type=int, default=2)
     p.add_argument("--fused", action="store_true",
                    help="fused Pallas residual-group kernel (packed trunk)")
     args = p.parse_args()

@@ -301,7 +301,7 @@ def _bwd_kernel(skipg_ref, sx_ref, sa_ref, sc_ref, ss_ref,
         dh = jax.lax.dot_general(du.astype(cdt), wu_ref[0],
                                  (((1,), (1,)), ((), ())),
                                  preferred_element_type=jnp.float32)
-        dv = dh * (v > 0)
+        dv = jnp.where(v > 0.0, dh, 0.0)
         dbd_ref[0, 0] += dv[0]
         dwd_ref[0] += jax.lax.dot_general(mvec.astype(cdt),
                                           dv.astype(cdt),
@@ -317,9 +317,10 @@ def _bwd_kernel(skipg_ref, sx_ref, sa_ref, sc_ref, ss_ref,
         gpad[pl.ds(s, m), :] = dc.astype(gpad.dtype)
         wgrads(sa_ref, dc.astype(cdt), dw2_ref)
         da = convT(gpad, lambda t9: w2_ref[0, t9])
-        # relu backward (sign from the stashed relu output)
-        a_int = sa_ref[0, 0, pl.ds(s, m), :]
-        dr1 = da * (a_int > 0)
+        # relu backward (sign from the stashed relu output); compare in f32
+        # — Mosaic rejects sub-32-bit comparisons on this target
+        a_int = sa_ref[0, 0, pl.ds(s, m), :].astype(jnp.float32)
+        dr1 = jnp.where(a_int > 0.0, da, 0.0)
         # conv1 backward
         db1_ref[0, 0] += jnp.sum(dr1, axis=0)
         gpad[:] = jnp.zeros_like(gpad)
