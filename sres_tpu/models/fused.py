@@ -101,7 +101,15 @@ class FusedResidualGroup(nn.Module):
 
         tile2 = lambda b: jnp.concatenate([b, b], axis=-1)
         xp = pad_to_kernel_layout(x.astype(cd))
-        y = fused_residual_group(
+        # checkpoint the kernel call: its custom-VJP backward re-streams
+        # ~1.5 GB of per-RCAB HBM stashes per group (batch 72); without
+        # remat every group's stash stays alive until the backward pass
+        # and the chip OOMs. Remat re-runs one group's forward during
+        # backward so only one stash is live at a time.
+        import jax as _jax
+        kernel = _jax.checkpoint(fused_residual_group,
+                                 static_argnums=(11, 12, 13))
+        y = kernel(
             xp,
             bd2(w1).astype(cd), tile2(b1).astype(jnp.float32),
             bd2(w2).astype(cd), tile2(b2).astype(jnp.float32),
