@@ -96,6 +96,11 @@ def main() -> None:
 
     tiles_per_sec = args.steps * batch / dt
     per_chip = tiles_per_sec / ndev
+    # MFU: useful model FLOPs (fwd 83.4 GF/tile for rcan-10-20-64 — PERF.md
+    # roofline — x3 for fwd+bwd) over the v5e bf16 peak (197 TFLOP/s)
+    flops_per_tile = 3 * 83.4e9 * (args.nlayers / 10) * (args.nblocks / 20) \
+        * (args.nfeatures / 64) ** 2
+    mfu = per_chip * flops_per_tile / 197e12
     print(json.dumps({
         "metric": "rcan-10-20-64 x4 train throughput (48x48 LR tiles/sec/chip)",
         "value": round(per_chip, 2),
@@ -104,7 +109,7 @@ def main() -> None:
         "detail": {
             "devices": ndev, "batch": batch, "steps": args.steps,
             "precision": precision, "lane_pack": args.lane_pack, "fused": args.fused, "step_ms": round(1000 * dt / args.steps, 2),
-            "loss": loss_val,
+            "loss": loss_val, "mfu": round(mfu, 4),
             "baseline_estimate": "A100 eager fp32 reference loop ≈ 135 tiles/s (see docstring)",
         },
     }))
