@@ -89,12 +89,75 @@ def _partial_restore(template: SRTrainState, saved: Dict[str, Any]) -> SRTrainSt
     return template.replace(params=restored_params)
 
 
+class _OrbaxBackend:
+    """Optional production backend (pipeline.checkpoint_backend: orbax):
+    atomic versioned directories, async writes, native multi-host
+    coordination, two retained steps ≈ the flax backend's slot+.backup."""
+
+    def __init__(self, async_write: bool):
+        import orbax.checkpoint as ocp
+        self._ocp = ocp
+        self._async = async_write
+        self._mgrs: Dict[str, Any] = {}
+
+    def _dir(self, tset: TSet) -> str:
+        vtset = TSet.Validation if tset == TSet.Test else tset
+        return (f"{cfg().platform.results}/checkpoints_orbax/"
+                f"{cfg().task.training_version}.{vtset.value}")
+
+    def _mgr(self, tset: TSet):
+        d = self._dir(tset)
+        if d not in self._mgrs:
+            ocp = self._ocp
+            options = ocp.CheckpointManagerOptions(
+                max_to_keep=2, create=True,
+                enable_async_checkpointing=self._async)
+            self._mgrs[d] = ocp.CheckpointManager(d, options=options)
+        return self._mgrs[d]
+
+    def save(self, state_dict: Dict[str, Any], meta: Dict[str, Any], tset: TSet) -> str:
+        ocp = self._ocp
+        mgr = self._mgr(tset)
+        step = (mgr.latest_step() or 0) + 1
+        mgr.save(step, args=ocp.args.Composite(
+            state=ocp.args.StandardSave(state_dict),
+            meta=ocp.args.JsonSave(meta)))
+        return self._dir(tset)
+
+    def load(self, tset: TSet) -> Optional[Dict[str, Any]]:
+        ocp = self._ocp
+        mgr = self._mgr(tset)
+        step = mgr.latest_step()
+        if step is None:
+            return None
+        restored = mgr.restore(step, args=ocp.args.Composite(
+            state=ocp.args.StandardRestore(),
+            meta=ocp.args.JsonRestore()))
+        blob = dict(restored["meta"])
+        blob["state"] = restored["state"]
+        return blob
+
+    def clear(self, tset: TSet) -> None:
+        d = self._dir(tset)
+        self.flush()
+        self._mgrs.pop(d, None)
+        if os.path.isdir(d):
+            shutil.rmtree(d)
+
+    def flush(self) -> None:
+        for mgr in self._mgrs.values():
+            mgr.wait_until_finished()
+
+
 class CheckpointManager:
     def __init__(self, async_write: Optional[bool] = None):
         if async_write is None:
             async_write = bool(cfg().pipeline.get("async_checkpoint", True))
         self.async_write = async_write
         self._writer = _AsyncWriter()
+        self.backend = str(cfg().pipeline.get("checkpoint_backend", "flax"))
+        self._orbax = (_OrbaxBackend(async_write)
+                       if self.backend == "orbax" else None)
 
     @classmethod
     def checkpoint_path(cls, tset: TSet, backup: bool = False) -> str:
@@ -107,6 +170,15 @@ class CheckpointManager:
 
     def save_checkpoint(self, state: SRTrainState, epoch: int, itime: int,
                         tset: TSet, loss: float, interp_loss: float) -> str:
+        if self._orbax is not None:      # orbax coordinates hosts natively
+            host_state = jax.device_get(state)
+            meta = dict(epoch=int(epoch), itime=int(itime),
+                        loss=float(loss), interp_loss=float(interp_loss))
+            path = self._orbax.save(serialization.to_state_dict(host_state),
+                                    meta, tset)
+            lgm().log(f" *** SAVE {tset.name} checkpoint (orbax), "
+                      f"loss={loss:.5f} → {path}")
+            return path
         if jax.process_index() != 0:     # one writer per multi-host job
             return self.checkpoint_path(tset)
         host_state = jax.device_get(state)
@@ -131,16 +203,23 @@ class CheckpointManager:
         """Returns {'epoch','itime','loss','state'} (state restored into the
         template's pytree structure) or {} when no checkpoint exists."""
         self.flush()
-        path = self.checkpoint_path(tset)
-        if not os.path.exists(path):
-            lgm().log(f"No checkpoint file found at '{path}': starting from scratch.")
-            return {}
-        try:
-            with open(path, "rb") as f:
-                blob = serialization.msgpack_restore(f.read())
-        except Exception as e:
-            lgm().log(f"Unable to load checkpoint {path}: {e}", display=True)
-            return None
+        path = self.checkpoint_path(tset) if self._orbax is None else "orbax"
+        if self._orbax is not None:
+            blob = self._orbax.load(tset)
+            path = self._orbax._dir(tset)
+            if blob is None:
+                lgm().log("No orbax checkpoint found: starting from scratch.")
+                return {}
+        else:
+            if not os.path.exists(path):
+                lgm().log(f"No checkpoint file found at '{path}': starting from scratch.")
+                return {}
+            try:
+                with open(path, "rb") as f:
+                    blob = serialization.msgpack_restore(f.read())
+            except Exception as e:
+                lgm().log(f"Unable to load checkpoint {path}: {e}", display=True)
+                return None
         out: Dict[str, Any] = {
             "epoch": int(blob["epoch"]), "itime": int(blob["itime"]),
             "loss": float(blob["loss"]), "interp_loss": float(blob.get("interp_loss", 0.0)),
@@ -159,6 +238,10 @@ class CheckpointManager:
 
     def clear_checkpoints(self) -> None:
         self.flush()
+        if self._orbax is not None:
+            for tset in (TSet.Train, TSet.Validation):
+                self._orbax.clear(tset)
+            return
         for tset in (TSet.Train, TSet.Validation):
             for backup in (False, True):
                 p = self.checkpoint_path(tset, backup)
@@ -167,3 +250,5 @@ class CheckpointManager:
 
     def flush(self) -> None:
         self._writer.flush()
+        if self._orbax is not None:
+            self._orbax.flush()

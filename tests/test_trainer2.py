@@ -241,3 +241,26 @@ def test_temporal_features_end_to_end(tmp_path):
         assert t_off.step_config.ntemporal == 0
         shapes_off = [p.shape for p in jax.tree.leaves(t_off.state.params)]
     assert shapes_on != shapes_off
+
+
+def test_orbax_checkpoint_backend(tmp_path):
+    """pipeline.checkpoint_backend: orbax — save/resume with versioned
+    directories, meta round trip, params restored exactly."""
+    import jax
+    over = {"pipeline.checkpoint_backend": "orbax", "task.nepochs": 3}
+    with ctx(tmp_path, **over) as cc:
+        t1 = ModelTrainer(cc, seed=0)
+        t1.train(nepochs=3, refresh_state=True, seed=0)
+        t1.checkpoint_manager.flush()
+        p1 = jax.device_get(t1.state.params)
+    with ctx(tmp_path, **over) as cc2:
+        t2 = ModelTrainer(cc2, seed=1)
+        meta = t2.checkpoint_manager.load_checkpoint(t2.state, TSet.Train,
+                                                     update_model=True)
+        assert meta and meta["epoch"] >= 1 and np.isfinite(meta["loss"])
+        p2 = jax.device_get(meta["state"].params)
+        for a, b in zip(jax.tree.leaves(p1), jax.tree.leaves(p2)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        # refresh clears the orbax store
+        t2.checkpoint_manager.clear_checkpoints()
+        assert t2.checkpoint_manager.load_checkpoint(t2.state, TSet.Train) == {}
