@@ -40,6 +40,8 @@ def main() -> None:
     p.add_argument("--lane_pack", type=int, default=2)
     p.add_argument("--fused", action="store_true",
                    help="fused Pallas residual-group kernel (packed trunk)")
+    p.add_argument("--eval", action="store_true",
+                   help="measure inference (eval-step) throughput instead of training")
     args = p.parse_args()
 
     import jax
@@ -48,7 +50,8 @@ def main() -> None:
 
     from sres_tpu.models import build_model
     from sres_tpu.parallel.mesh import get_mesh
-    from sres_tpu.trainer.step import (StepConfig, build_train_step, init_state)
+    from sres_tpu.trainer.step import (StepConfig, build_eval_step,
+                                       build_train_step, init_state)
     import optax
 
     mcfg = dict(name="rcan", nfeatures=args.nfeatures, nlayers=args.nlayers,
@@ -66,7 +69,11 @@ def main() -> None:
     mesh = get_mesh({"data": -1})
     ndev = mesh.shape["data"]
     batch = ((args.batch + ndev - 1) // ndev) * ndev
-    train_step = build_train_step(model, optimizer, sc, mesh)
+    if args.eval:
+        eval_step = build_eval_step(model, sc, mesh)
+        train_step = lambda state, hr, w: (state, eval_step(state, hr, w)[0])
+    else:
+        train_step = build_train_step(model, optimizer, sc, mesh)
 
     rng = np.random.default_rng(0)
     nbuf = 4
@@ -98,11 +105,14 @@ def main() -> None:
     per_chip = tiles_per_sec / ndev
     # MFU: useful model FLOPs (fwd 83.4 GF/tile for rcan-10-20-64 — PERF.md
     # roofline — x3 for fwd+bwd) over the v5e bf16 peak (197 TFLOP/s)
-    flops_per_tile = 3 * 83.4e9 * (args.nlayers / 10) * (args.nblocks / 20) \
+    fwd_bwd = 1 if args.eval else 3
+    flops_per_tile = fwd_bwd * 83.4e9 * (args.nlayers / 10) * (args.nblocks / 20) \
         * (args.nfeatures / 64) ** 2
     mfu = per_chip * flops_per_tile / 197e12
     print(json.dumps({
-        "metric": "rcan-10-20-64 x4 train throughput (48x48 LR tiles/sec/chip)",
+        "metric": ("rcan-10-20-64 x4 eval throughput (48x48 LR tiles/sec/chip)"
+                   if args.eval else
+                   "rcan-10-20-64 x4 train throughput (48x48 LR tiles/sec/chip)"),
         "value": round(per_chip, 2),
         "unit": "tiles/s/chip",
         "vs_baseline": round(per_chip / A100_BASELINE_TILES_PER_SEC, 3),
