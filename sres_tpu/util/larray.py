@@ -149,3 +149,44 @@ def cdelta(data: "LArray") -> dict:
         if c.size > 1 and _np.issubdtype(c.dtype, _np.number):
             out[k] = float(c[1] - c[0])
     return out
+
+
+# -- GraphCast-style variable stacking (reference: sres/base/util/ops.py:192-351)
+def dict_to_stacked(arrays: dict, channel_dim: str = "channels") -> "LArray":
+    """{name: LArray(..., y, x)} → one LArray with a leading channels axis
+    per variable, variables in sorted-name order (reference
+    dataset_to_stacked). Scalars per variable broadcast to the common grid."""
+    import numpy as _np
+    names = sorted(arrays)
+    sample = arrays[names[0]]
+    planes = []
+    for n in names:
+        a = arrays[n]
+        d = _np.asarray(a.data if isinstance(a, LArray) else a)
+        planes.append(_np.broadcast_to(d, sample.data.shape))
+    data = _np.stack(planes, axis=0)
+    dims = [channel_dim] + list(sample.dims)
+    coords = dict(sample.coords)
+    coords[channel_dim] = names
+    return LArray(data, dims, coords=coords)
+
+
+def stacked_to_dict(stacked: "LArray", channel_dim: str = "channels") -> dict:
+    """Inverse of dict_to_stacked (reference stacked_to_dataset)."""
+    names = list(stacked.coords[channel_dim])
+    return {n: stacked.isel(**{channel_dim: i}) for i, n in enumerate(names)}
+
+
+def normalize_stacked(values: dict, scales: dict, means: dict = None) -> dict:
+    """Per-variable (x - mean) / scale over a {name: array} dict (reference
+    ops.normalize); missing entries pass through unchanged."""
+    import numpy as _np
+    out = {}
+    for name, arr in values.items():
+        a = _np.asarray(arr.data if isinstance(arr, LArray) else arr, _np.float32)
+        if means is not None and name in means:
+            a = a - _np.float32(means[name])
+        if scales is not None and name in scales:
+            a = a / _np.float32(scales[name])
+        out[name] = (arr.copy(data=a) if isinstance(arr, LArray) else a)
+    return out

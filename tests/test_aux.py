@@ -105,3 +105,24 @@ def test_legacy_viz_modules():
     assert canvas is not None
     err = rmse_per_tile(target.data[:, 0] - model.data[:, 0])
     assert err.shape == (3,) and np.all(err > 0)
+
+
+def test_graphcast_stacking_helpers():
+    """dict_to_stacked / stacked_to_dict / normalize_stacked (reference
+    GraphCast-derived ops: sres/base/util/ops.py:192-351)."""
+    from sres_tpu.util.larray import (LArray, dict_to_stacked, normalize_stacked,
+                                      stacked_to_dict)
+    rng = np.random.default_rng(0)
+    sss = LArray(rng.normal(35, 1, (4, 8, 8)).astype(np.float32), ["tiles", "y", "x"])
+    sst = LArray(rng.normal(15, 2, (4, 8, 8)).astype(np.float32), ["tiles", "y", "x"])
+    stacked = dict_to_stacked({"SST": sst, "SSS": sss})
+    assert stacked.dims == ("channels", "tiles", "y", "x")
+    assert list(stacked.coords["channels"]) == ["SSS", "SST"]   # sorted order
+    np.testing.assert_array_equal(stacked.data[0], sss.data)
+    back = stacked_to_dict(stacked)
+    np.testing.assert_array_equal(back["SST"].data, sst.data)
+    normed = normalize_stacked({"SST": sst, "SSS": sss},
+                               scales={"SST": 2.0, "SSS": 1.0},
+                               means={"SST": 15.0, "SSS": 35.0})
+    assert abs(float(normed["SST"].data.mean())) < 0.2
+    np.testing.assert_allclose(normed["SSS"].data, sss.data - 35.0, rtol=1e-6)
