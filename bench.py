@@ -25,7 +25,8 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-A100_BASELINE_TILES_PER_SEC = 135.0
+A100_BASELINE_TILES_PER_SEC = 135.0        # training (fwd+bwd+Adam)
+A100_BASELINE_EVAL_TILES_PER_SEC = 405.0   # inference ≈ 1/3 the train cost
 
 
 def main() -> None:
@@ -115,7 +116,8 @@ def main() -> None:
                    "rcan-10-20-64 x4 train throughput (48x48 LR tiles/sec/chip)"),
         "value": round(per_chip, 2),
         "unit": "tiles/s/chip",
-        "vs_baseline": round(per_chip / A100_BASELINE_TILES_PER_SEC, 3),
+        "vs_baseline": round(per_chip / (A100_BASELINE_EVAL_TILES_PER_SEC if args.eval
+                                         else A100_BASELINE_TILES_PER_SEC), 3),
         "detail": {
             "devices": ndev, "batch": batch, "steps": args.steps,
             "precision": precision, "lane_pack": args.lane_pack, "fused": args.fused, "step_ms": round(1000 * dt / args.steps, 2),
