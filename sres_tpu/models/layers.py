@@ -236,12 +236,15 @@ class ResBlock(nn.Module):
     use_bias: bool = True
     res_scale: float = 1.0
     dtype: Optional[Dtype] = None
+    pack: int = 1
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
-        r = Conv(self.features, self.kernel_size, use_bias=self.use_bias, dtype=self.dtype)(x)
+        r = Conv(self.features, self.kernel_size, use_bias=self.use_bias,
+                 dtype=self.dtype, pack=self.pack)(x)
         r = nn.relu(r)
-        r = Conv(self.features, self.kernel_size, use_bias=self.use_bias, dtype=self.dtype)(r)
+        r = Conv(self.features, self.kernel_size, use_bias=self.use_bias,
+                 dtype=self.dtype, pack=self.pack)(r)
         return x + r * self.res_scale
 
 

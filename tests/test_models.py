@@ -101,3 +101,21 @@ def test_rcan_lane_pack_equivalence():
     g2 = jax.grad(lambda v: loss(m2, v, x))(v1)
     for a, b in zip(jax.tree.leaves(g1), jax.tree.leaves(g2)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-5)
+
+
+def test_edsr_lane_pack_equivalence():
+    """EDSR lane_pack=2 (same lane optimization as RCAN) is numerically
+    identical and shares the unpacked param tree."""
+    import jax
+    import jax.numpy as jnp
+    mcfg = dict(name="edsr", nfeatures=16, nlayers=3, kernel_size=3,
+                downscale_factors=[2, 2])
+    m1 = build_model(mcfg, 1, 1, precision="f32")
+    m2 = build_model({**mcfg, "lane_pack": 2}, 1, 1, precision="f32")
+    x = jax.random.normal(jax.random.PRNGKey(1), (5, 12, 12, 1), jnp.float32)
+    v1 = m1.init(jax.random.PRNGKey(0), x, train=False)
+    assert jax.tree.structure(v1) == jax.tree.structure(
+        m2.init(jax.random.PRNGKey(0), x, train=False))
+    np.testing.assert_allclose(np.asarray(m2.apply(v1, x, train=False)),
+                               np.asarray(m1.apply(v1, x, train=False)),
+                               rtol=2e-6, atol=2e-6)
