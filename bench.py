@@ -43,9 +43,14 @@ def main() -> None:
                    help="fused Pallas residual-group kernel (packed trunk)")
     p.add_argument("--eval", action="store_true",
                    help="measure inference (eval-step) throughput instead of training")
+    p.add_argument("--cpu", action="store_true",
+                   help="force the CPU backend (contract tests; the axon "
+                        "sitecustomize overrides JAX_PLATFORMS)")
     args = p.parse_args()
 
     import jax
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
     import jax.numpy as jnp
     import numpy as np
 
