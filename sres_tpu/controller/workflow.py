@@ -23,6 +23,9 @@ class WorkflowController:
         self.cname = cname
         self.seed = kwargs.get("seed", int(time.time() / 60))
         self.interp_loss = kwargs.get("interp_loss", False)
+        # reference API compat: WorkflowController(..., refresh_state=True)
+        # behaves like the -r CLI flag (reference: scripts/train/train-dbpn.py)
+        self.refresh_state = bool(kwargs.get("refresh_state", False))
         self.config: Optional[ConfigContext] = None
         self.trainer: Optional[ModelTrainer] = None
         self.plot = None
@@ -38,7 +41,7 @@ class WorkflowController:
                     LogManager.reset()
                     args = self.get_args()
                     self.trainer = ModelTrainer(cc, seed=self.seed)
-                    self.trainer.train(args.nepochs, args.refresh,
+                    self.trainer.train(args.nepochs, args.refresh or self.refresh_state,
                                        seed=self.seed, interp_loss=self.interp_loss)
                 except Exception as e:
                     lgm().exception(f"Exception while training model: {e}")

@@ -96,3 +96,28 @@ def test_controller_test_hook(tmp_path):
     over = dict(SYNTH_OVER, **{"platform.root": str(tmp_path)})
     controller = WorkflowController("sres", synth_config(tmp_path))
     controller.test("edsr", "load_raw_dataset", **over)
+
+
+def test_refresh_state_kwarg(tmp_path):
+    """Reference API compat: WorkflowController(..., refresh_state=True)
+    clears checkpoints like the -r flag (reference launchers pass it,
+    e.g. scripts/train/train-dbpn.py)."""
+    import sys
+    sys.argv = ["t"]
+    from sres_tpu.controller import WorkflowController
+    conf = dict(task="synthetic-tiles-48", dataset="synthetic",
+                pipeline="sres", platform="local")
+    over = {"platform.root": str(tmp_path),
+            "dataset.image_size": {"y": 144, "x": 144}, "dataset.ntimes": 3,
+            "dataset.nan_fraction": 0.0,
+            "task.tile_size": {"x": 12, "y": 12}, "task.batch_size": 4,
+            "task.nepochs": 2, "task.ttsplit": {"train": 0.75, "valid": 0.25, "test": 0.0},
+            "model.nfeatures": 16, "model.nlayers": 1, "pipeline.precision": "f32"}
+    c = WorkflowController("sres", conf, seed=0, refresh_state=True)
+    assert c.refresh_state
+    c.train(["edsr"], **over)
+    # second run with refresh_state resets to epoch 1 rather than resuming
+    c2 = WorkflowController("sres", conf, seed=0, refresh_state=True)
+    c2.train(["edsr"], **over)
+    recs = c2.trainer.results_accum.results
+    assert recs and min(r.epoch for r in recs) < 1.0
