@@ -62,19 +62,17 @@ class FusedResidualGroup(nn.Module):
         assert cc == 2 * c, f"FusedResidualGroup expects packed C={2*c}, got {cc}"
         cd = self.dtype or x.dtype
 
+        def _bdiag(wm):  # (..., a, b) → (..., 2a, 2b) via concats (no scatters)
+            z = jnp.zeros_like(wm)
+            top = jnp.concatenate([wm, z], axis=-1)
+            bot = jnp.concatenate([z, wm], axis=-1)
+            return jnp.concatenate([top, bot], axis=-2)
+
         def bd2(wk):  # (..., 3,3,c,c) → (..., 9, 2c, 2c) block-diagonal
-            w9 = wk.reshape(wk.shape[:-4] + (9, wk.shape[-2], wk.shape[-1]))
-            z = jnp.zeros(w9.shape[:-2] + (2 * w9.shape[-2], 2 * w9.shape[-1]),
-                          w9.dtype)
-            z = z.at[..., :w9.shape[-2], :w9.shape[-1]].set(w9)
-            return z.at[..., w9.shape[-2]:, w9.shape[-1]:].set(w9)
+            return _bdiag(wk.reshape(wk.shape[:-4] + (9,) + wk.shape[-2:]))
 
         def bd1(wk):  # (..., 1,1,a,b) → (..., 2a, 2b) block-diagonal
-            wm = wk.reshape(wk.shape[:-4] + wk.shape[-2:])
-            z = jnp.zeros(wm.shape[:-2] + (2 * wm.shape[-2], 2 * wm.shape[-1]),
-                          wm.dtype)
-            z = z.at[..., :wm.shape[-2], :wm.shape[-1]].set(wm)
-            return z.at[..., wm.shape[-2]:, wm.shape[-1]:].set(wm)
+            return _bdiag(wk.reshape(wk.shape[:-4] + wk.shape[-2:]))
 
         tile2 = lambda b: jnp.concatenate([b, b], axis=-1)
         xp = pad_to_kernel_layout(x.astype(cd))

@@ -69,11 +69,13 @@ class _PackedConvCore(nn.Module):
                           torch_bias_init(key, shape, dt, fan_in),
                           (self.features,)) if self.use_bias else None
         # block-diagonal expansion: group g maps channels [g·cin, (g+1)·cin)
-        # → [g·cout, (g+1)·cout); off-diagonal blocks are zero
-        big = jnp.zeros((k, k, cin * p, self.features * p), kernel.dtype)
-        for g in range(p):
-            big = big.at[:, :, g * cin:(g + 1) * cin,
-                         g * self.features:(g + 1) * self.features].set(kernel)
+        # → [g·cout, (g+1)·cout); off-diagonal blocks are zero. Built with
+        # concatenations, not .at[].set — XLA lowers the scatters into ~6 ms
+        # of per-step device time on the full RCAN (profiled), concat fuses.
+        zero = jnp.zeros_like(kernel)
+        rows = [jnp.concatenate([kernel if g == j else zero for j in range(p)],
+                                axis=3) for g in range(p)]
+        big = jnp.concatenate(rows, axis=2)
         dt = self.dtype or x.dtype
         pad = self.padding if self.padding is not None else [(k // 2, k // 2)] * 2
         dn = jax.lax.conv_dimension_numbers(x.shape, big.shape,
