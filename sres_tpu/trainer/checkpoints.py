@@ -163,10 +163,10 @@ class CheckpointManager:
     def checkpoint_path(cls, tset: TSet, backup: bool = False) -> str:
         vtset = TSet.Validation if tset == TSet.Test else tset
         path = f"{cfg().platform.results}/checkpoints/{cfg().task.training_version}.{vtset.value}"
-        if backup:
-            path += ".backup"
         os.makedirs(os.path.dirname(path), exist_ok=True)
-        return path + ".ckpt"
+        path += ".ckpt"
+        # the async writer snapshots the previous file to <path>.backup
+        return path + ".backup" if backup else path
 
     def save_checkpoint(self, state: SRTrainState, epoch: int, itime: int,
                         tset: TSet, loss: float, interp_loss: float) -> str:
@@ -214,11 +214,20 @@ class CheckpointManager:
             if not os.path.exists(path):
                 lgm().log(f"No checkpoint file found at '{path}': starting from scratch.")
                 return {}
-            try:
-                with open(path, "rb") as f:
-                    blob = serialization.msgpack_restore(f.read())
-            except Exception as e:
-                lgm().log(f"Unable to load checkpoint {path}: {e}", display=True)
+            blob = None
+            for cand in (path, self.checkpoint_path(tset, backup=True)):
+                if not os.path.exists(cand):
+                    continue
+                try:
+                    with open(cand, "rb") as f:
+                        blob = serialization.msgpack_restore(f.read())
+                    if cand != path:
+                        lgm().log(f"Primary checkpoint corrupt; restored from "
+                                  f"backup {cand}", display=True)
+                    break
+                except Exception as e:
+                    lgm().log(f"Unable to load checkpoint {cand}: {e}", display=True)
+            if blob is None:
                 return None
         out: Dict[str, Any] = {
             "epoch": int(blob["epoch"]), "itime": int(blob["itime"]),

@@ -264,3 +264,21 @@ def test_orbax_checkpoint_backend(tmp_path):
         # refresh clears the orbax store
         t2.checkpoint_manager.clear_checkpoints()
         assert t2.checkpoint_manager.load_checkpoint(t2.state, TSet.Train) == {}
+
+
+def test_corrupt_checkpoint_falls_back_to_backup(tmp_path):
+    """Failure recovery: a truncated/corrupt primary checkpoint falls back to
+    the .backup slot (SURVEY §5.3; the backup existed in round 1 but was
+    never read on corruption)."""
+    with ctx(tmp_path) as cc:
+        t1 = ModelTrainer(cc, seed=0)
+        t1.train(nepochs=3, refresh_state=True, seed=0)   # >=2 saves → backup
+        t1.checkpoint_manager.flush()
+        mgr = t1.checkpoint_manager
+        primary = mgr.checkpoint_path(TSet.Train)
+        backup = mgr.checkpoint_path(TSet.Train, backup=True)
+        assert __import__("os").path.exists(backup)
+        with open(primary, "wb") as f:
+            f.write(b"corrupt garbage")
+        meta = mgr.load_checkpoint(t1.state, TSet.Train, update_model=True)
+        assert meta and "state" in meta and np.isfinite(meta["loss"])
