@@ -145,3 +145,26 @@ def test_seamless_inference(tmp_path):
         # coverage identical to the non-overlapped device path
         grid_img = trainer.infer_region(ctime)["SST"]["model"]
         assert (np.isnan(grid_img.data) == np.isnan(img.data)).all()
+
+
+def test_halo_conv2d_matches_unsharded():
+    """Spatial parallelism (SURVEY §5.7): H-sharded conv with ppermute halo
+    exchange is numerically identical to the unsharded zero-padded conv on
+    the 8-device mesh."""
+    import jax.numpy as jnp
+    from jax import lax
+    from sres_tpu.parallel.mesh import get_mesh
+    from sres_tpu.parallel.spatial import halo_conv2d
+
+    mesh = get_mesh({"data": 8})
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(size=(2, 64, 24, 8)).astype(np.float32))
+    for k in (3, 5):
+        w = jnp.asarray(rng.normal(size=(k, k, 8, 16)).astype(np.float32) * 0.1)
+        dn = lax.conv_dimension_numbers(x.shape, w.shape, ("NHWC", "HWIO", "NHWC"))
+        want = lax.conv_general_dilated(x, w, (1, 1),
+                                        [(k // 2, k // 2)] * 2,
+                                        dimension_numbers=dn)
+        got = halo_conv2d(x, w, mesh)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=1e-5, atol=1e-5)
