@@ -43,6 +43,8 @@ def main() -> None:
                    help="fused Pallas residual-group kernel (packed trunk)")
     p.add_argument("--eval", action="store_true",
                    help="measure inference (eval-step) throughput instead of training")
+    p.add_argument("--model-yaml", type=str, default="",
+                   help="bench any config/model/<NAME>.yaml instead of the flagship")
     p.add_argument("--cpu", action="store_true",
                    help="force the CPU backend (contract tests; the axon "
                         "sitecustomize overrides JAX_PLATFORMS)")
@@ -60,17 +62,26 @@ def main() -> None:
                                        build_train_step, init_state)
     import optax
 
-    mcfg = dict(name="rcan", nfeatures=args.nfeatures, nlayers=args.nlayers,
-                nblocks=args.nblocks, cbottleneck=2, kernel_size=3,
-                downscale_factors=[2, 2], loss_fn="l2", lane_pack=args.lane_pack,
-                fused=args.fused)
+    if args.model_yaml:
+        import yaml
+        path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                            "config", "model", f"{args.model_yaml}.yaml")
+        mcfg = yaml.safe_load(open(path))
+    else:
+        mcfg = dict(name="rcan", nfeatures=args.nfeatures, nlayers=args.nlayers,
+                    nblocks=args.nblocks, cbottleneck=2, kernel_size=3,
+                    downscale_factors=[2, 2], loss_fn="l2", lane_pack=args.lane_pack,
+                    fused=args.fused)
     precision = "f32" if args.f32 else "bf16"
     model = build_model(mcfg, 1, 1, precision=precision)
-    sc = StepConfig(scale=4, downscale_factors=(2, 2), down_mode="bicubic",
-                    up_mode="bicubic", loss_fn="l2", data_downsample=1.0,
-                    target_idx=(0,), nchannels_in=1, has_bn=False)
+
     optimizer = optax.adam(1e-4)
-    state, _ = init_state(model, optimizer, jnp.zeros((1, 48, 48, 1), jnp.float32), seed=0)
+    state, has_bn = init_state(model, optimizer,
+                               jnp.zeros((1, 48, 48, 1), jnp.float32), seed=0)
+    sc = StepConfig(scale=4, downscale_factors=(2, 2), down_mode="bicubic",
+                    up_mode="bicubic",
+                    loss_fn=mcfg.get("loss_fn", "l2"), data_downsample=1.0,
+                    target_idx=(0,), nchannels_in=1, has_bn=has_bn)
 
     mesh = get_mesh({"data": -1})
     ndev = mesh.shape["data"]
@@ -116,9 +127,9 @@ def main() -> None:
         * (args.nfeatures / 64) ** 2
     mfu = per_chip * flops_per_tile / 197e12
     print(json.dumps({
-        "metric": ("rcan-10-20-64 x4 eval throughput (48x48 LR tiles/sec/chip)"
-                   if args.eval else
-                   "rcan-10-20-64 x4 train throughput (48x48 LR tiles/sec/chip)"),
+        "metric": (f"{args.model_yaml or 'rcan-10-20-64'} x4 "
+                   f"{'eval' if args.eval else 'train'} throughput "
+                   "(48x48 LR tiles/sec/chip)"),
         "value": round(per_chip, 2),
         "unit": "tiles/s/chip",
         "vs_baseline": round(per_chip / (A100_BASELINE_EVAL_TILES_PER_SEC if args.eval
