@@ -48,6 +48,10 @@ def main() -> None:
     p.add_argument("--cpu", action="store_true",
                    help="force the CPU backend (contract tests; the axon "
                         "sitecustomize overrides JAX_PLATFORMS)")
+    p.add_argument("--scan", type=int, default=0,
+                   help="K>0: run K optimizer steps per device dispatch "
+                        "(lax.scan over K staged batches) — amortizes "
+                        "host-dispatch latency; steps must divide by K")
     args = p.parse_args()
 
     import jax
@@ -59,6 +63,7 @@ def main() -> None:
     from sres_tpu.models import build_model
     from sres_tpu.parallel.mesh import get_mesh
     from sres_tpu.trainer.step import (StepConfig, build_eval_step,
+                                       build_multi_train_step,
                                        build_train_step, init_state)
     import optax
 
@@ -86,26 +91,46 @@ def main() -> None:
     mesh = get_mesh({"data": -1})
     ndev = mesh.shape["data"]
     batch = ((args.batch + ndev - 1) // ndev) * ndev
+    scan = 0 if args.eval else args.scan
     if args.eval:
         eval_step = build_eval_step(model, sc, mesh)
         train_step = lambda state, hr, w: (state, eval_step(state, hr, w)[0])
+    elif scan > 0:
+        assert args.steps % scan == 0, "--steps must be a multiple of --scan"
+        train_step = build_multi_train_step(model, optimizer, sc, mesh)
     else:
         train_step = build_train_step(model, optimizer, sc, mesh)
 
     rng = np.random.default_rng(0)
-    nbuf = 4
-    hrs = [jnp.asarray(rng.normal(size=(batch, 1, 192, 192)).astype(np.float32))
-           for _ in range(nbuf)]
-    weight = jnp.ones((batch,), jnp.float32)
+    if scan > 0:
+        # one staged stack per dispatch; every scanned step sees distinct data
+        ndisp = args.steps // scan
+        stacks = [jnp.asarray(rng.normal(
+            size=(scan, batch, 1, 192, 192)).astype(np.float32))
+            for _ in range(ndisp)]
+        wstack = jnp.ones((scan, batch), jnp.float32)
+    else:
+        nbuf = 4
+        hrs = [jnp.asarray(rng.normal(size=(batch, 1, 192, 192)).astype(np.float32))
+               for _ in range(nbuf)]
+        weight = jnp.ones((batch,), jnp.float32)
 
     # warmup with one retry — the tunneled remote compiler occasionally
     # returns a transient HTTP 500
     for attempt in range(2):
         try:
-            for i in range(args.warmup):
-                state, metrics = train_step(state, hrs[i % nbuf], weight)
-            float(metrics["mloss"])  # value fetch — block_until_ready can
-            # return early on experimental remote backends; force execution
+            if scan > 0:
+                # two dispatches: the donated carry can come back with
+                # different buffer layouts than the fresh state, costing one
+                # recompile on the second call — absorb it in warmup
+                for i in range(2):
+                    state, metrics = train_step(state, stacks[i % ndisp], wstack)
+                    float(metrics["mloss"][-1])
+            else:
+                for i in range(args.warmup):
+                    state, metrics = train_step(state, hrs[i % nbuf], weight)
+                float(metrics["mloss"])  # value fetch — block_until_ready can
+                # return early on experimental remote backends; force execution
             break
         except Exception:
             if attempt == 1:
@@ -113,9 +138,14 @@ def main() -> None:
             time.sleep(10)
 
     t0 = time.perf_counter()
-    for i in range(args.steps):
-        state, metrics = train_step(state, hrs[i % nbuf], weight)
-    loss_val = float(metrics["mloss"])  # fetch inside the timed region
+    if scan > 0:
+        for i in range(ndisp):
+            state, metrics = train_step(state, stacks[i], wstack)
+        loss_val = float(metrics["mloss"][-1])  # fetch inside the timed region
+    else:
+        for i in range(args.steps):
+            state, metrics = train_step(state, hrs[i % nbuf], weight)
+        loss_val = float(metrics["mloss"])  # fetch inside the timed region
     dt = time.perf_counter() - t0
 
     tiles_per_sec = args.steps * batch / dt
@@ -136,7 +166,7 @@ def main() -> None:
                                          else A100_BASELINE_TILES_PER_SEC), 3),
         "detail": {
             "devices": ndev, "batch": batch, "steps": args.steps,
-            "precision": precision, "lane_pack": args.lane_pack, "fused": args.fused, "step_ms": round(1000 * dt / args.steps, 2),
+            "precision": precision, "lane_pack": args.lane_pack, "fused": args.fused, "scan": scan, "step_ms": round(1000 * dt / args.steps, 2),
             "loss": loss_val, "mfu": round(mfu, 4),
             "baseline_estimate": "A100 eager fp32 reference loop ≈ 135 tiles/s (see docstring)",
         },

@@ -20,7 +20,7 @@ import jax
 import jax.numpy as jnp
 import optax
 from flax import struct
-from jax.sharding import Mesh
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from sres_tpu.ops.resize import downsample, interp_mode, multiscale_targets, upsample
 from sres_tpu.parallel.mesh import batch_sharding, replicated
@@ -97,9 +97,10 @@ def _losses(out, target, weight, sc: StepConfig):
     return sr_loss(out, target, weight, sc.loss_fn)
 
 
-def build_train_step(model, optimizer: optax.GradientTransformation,
-                     sc: StepConfig, mesh: Optional[Mesh] = None) -> Callable:
-    """Returns train_step(state, hr_nchw, weight) -> (state, metrics)."""
+def _train_step_core(model, optimizer: optax.GradientTransformation,
+                     sc: StepConfig) -> Callable:
+    """The pure (untraced) train-step body shared by the per-batch jit and
+    the scanned multi-batch jit."""
 
     def train_step(state: SRTrainState, hr: jnp.ndarray, weight: jnp.ndarray,
                    temporal: Optional[jnp.ndarray] = None):
@@ -125,6 +126,13 @@ def build_train_step(model, optimizer: optax.GradientTransformation,
         metrics = dict(mloss=mloss, sloss=sloss, interp_sloss=interp_sloss)
         return new_state, metrics
 
+    return train_step
+
+
+def build_train_step(model, optimizer: optax.GradientTransformation,
+                     sc: StepConfig, mesh: Optional[Mesh] = None) -> Callable:
+    """Returns train_step(state, hr_nchw, weight) -> (state, metrics)."""
+    train_step = _train_step_core(model, optimizer, sc)
     if mesh is not None:
         repl, bsh = replicated(mesh), batch_sharding(mesh)
         insh = (repl, bsh, bsh) + ((bsh,) if sc.ntemporal > 0 else ())
@@ -133,6 +141,41 @@ def build_train_step(model, optimizer: optax.GradientTransformation,
                        in_shardings=insh,
                        out_shardings=(repl, repl))
     return jax.jit(train_step, donate_argnums=0, static_argnums=())
+
+
+def build_multi_train_step(model, optimizer: optax.GradientTransformation,
+                           sc: StepConfig, mesh: Optional[Mesh] = None) -> Callable:
+    """Returns multi_step(state, hr_stack, weight_stack) -> (state, metrics).
+
+    Runs K optimizer steps in ONE device dispatch via ``lax.scan`` over a
+    staged stack of K batches (hr_stack: (K, B, C, H, W), weight_stack:
+    (K, B); optional temporal_stack: (K, B, ntf)). Metrics come back stacked
+    (K,) per key so the host can still log every batch. Amortizes per-dispatch
+    host latency (the reference pays a full Python round trip per batch,
+    dual_trainer.py:296-323); especially valuable on remote/tunneled device
+    transports. The batch dim (axis 1) is sharded over the mesh's data axis;
+    the scan axis is time, never sharded."""
+    core = _train_step_core(model, optimizer, sc)
+
+    def multi_step(state: SRTrainState, hr_stack: jnp.ndarray,
+                   weight_stack: jnp.ndarray,
+                   temporal_stack: Optional[jnp.ndarray] = None):
+        xs = (hr_stack, weight_stack) + (
+            (temporal_stack,) if sc.ntemporal > 0 else ())
+
+        def body(st, x):
+            return core(st, *x)
+
+        return jax.lax.scan(body, state, xs)
+
+    if mesh is not None:
+        repl, bsh = replicated(mesh), batch_sharding(mesh)
+        ssh = NamedSharding(mesh, P(None, "data"))
+        insh = (repl, ssh, ssh) + ((ssh,) if sc.ntemporal > 0 else ())
+        fn = multi_step if sc.ntemporal > 0 else (lambda s, h, w: multi_step(s, h, w))
+        return jax.jit(fn, donate_argnums=0,
+                       in_shardings=insh, out_shardings=(repl, repl))
+    return jax.jit(multi_step, donate_argnums=0)
 
 
 def build_eval_step(model, sc: StepConfig, mesh: Optional[Mesh] = None) -> Callable:
