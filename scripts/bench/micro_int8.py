@@ -8,6 +8,12 @@ materially here.
 """
 from __future__ import annotations
 
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.abspath(_os.path.join(
+    _os.path.dirname(__file__), "..", "..")))  # run without install;
+# late insert so the interpreter's sitecustomize (axon TPU plugin
+# registration) never resolves the repo's top-level config/ tree
+
 import sys
 import time
 

@@ -1,5 +1,10 @@
 """Offline inference smoke: tiles + image structures on the synthetic dataset
 (run scripts/train/train-synthetic.py first)."""
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.abspath(_os.path.join(
+    _os.path.dirname(__file__), "..", "..")))  # run without install;
+# late insert so the interpreter's sitecustomize (axon TPU plugin
+# registration) never resolves the repo's top-level config/ tree
 from sres_tpu.controller import ResultStructure, WorkflowController
 
 configuration = dict(task="synthetic-tiles-48", dataset="synthetic",

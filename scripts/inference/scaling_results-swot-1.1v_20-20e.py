@@ -1,5 +1,10 @@
 """Downsample-robustness sweep: task.data_downsample vs mean loss%%
 (reference: scripts/inference/scaling_results-swot-1.1v_20-20e.py)."""
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.abspath(_os.path.join(
+    _os.path.dirname(__file__), "..", "..")))  # run without install;
+# late insert so the interpreter's sitecustomize (axon TPU plugin
+# registration) never resolves the repo's top-level config/ tree
 import numpy as np
 from sres_tpu.controller import ResultStructure, WorkflowController
 

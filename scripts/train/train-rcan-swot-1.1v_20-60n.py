@@ -1,4 +1,9 @@
 """rcan-10-20-64 on SST-tiles-48 / swot_20-60n (reference: scripts/train/train-rcan-swot-1.1v_20-60n.py)."""
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.abspath(_os.path.join(
+    _os.path.dirname(__file__), "..", "..")))  # run without install;
+# late insert so the interpreter's sitecustomize (axon TPU plugin
+# registration) never resolves the repo's top-level config/ tree
 from typing import Any, Dict, List
 from sres_tpu.controller import WorkflowController
 

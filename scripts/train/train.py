@@ -1,5 +1,10 @@
 """Generic launcher: python train.py --model rcan-10-20-64 --task SST-tiles-48
 --dataset swot_20-20e --platform explore [-ne N] [-r] [key=value ...]"""
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.abspath(_os.path.join(
+    _os.path.dirname(__file__), "..", "..")))  # run without install;
+# late insert so the interpreter's sitecustomize (axon TPU plugin
+# registration) never resolves the repo's top-level config/ tree
 import argparse
 from sres_tpu.controller import WorkflowController
 

@@ -70,14 +70,21 @@ def host_batch_slice(nglobal: int) -> slice:
     return slice(pid * per, (pid + 1) * per)
 
 
-def make_global_batch(batch: np.ndarray, mesh: Mesh, axis: str = "data"):
+def make_global_batch(batch: np.ndarray, mesh: Mesh, axis: str = "data",
+                      batch_dim: int = 0):
     """Global (padded) host batch → a sharded jax.Array on the mesh's data
     axis. Single-process: a plain sharded device_put. Multi-host: each
     process transfers ONLY its slice of the batch
     (jax.make_array_from_process_local_data), so input bandwidth scales with
-    hosts instead of every host pushing identical data (SURVEY §7 step 5)."""
-    sharding = batch_sharding(mesh, axis)
+    hosts instead of every host pushing identical data (SURVEY §7 step 5).
+    ``batch_dim``: which dim is the tile/batch dim — 1 for the (K, B, ...)
+    stacks of the scanned multi-step (steps_per_dispatch)."""
+    spec = [None] * (batch_dim + 1)
+    spec[batch_dim] = axis
+    sharding = NamedSharding(mesh, P(*spec))
     if jax.process_count() == 1:
         return jax.device_put(batch, sharding)
-    local = np.ascontiguousarray(batch[host_batch_slice(batch.shape[0])])
+    idx = [slice(None)] * batch.ndim
+    idx[batch_dim] = host_batch_slice(batch.shape[batch_dim])
+    local = np.ascontiguousarray(batch[tuple(idx)])
     return jax.make_array_from_process_local_data(sharding, local, batch.shape)

@@ -32,7 +32,8 @@ from sres_tpu.models import build_model
 from sres_tpu.parallel.mesh import get_mesh, pad_to_multiple
 from sres_tpu.trainer.checkpoints import CheckpointManager
 from sres_tpu.trainer.results import ResultsAccumulator
-from sres_tpu.trainer.step import (SRTrainState, build_eval_step, build_optimizer,
+from sres_tpu.trainer.step import (SRTrainState, build_eval_step,
+                                   build_multi_train_step, build_optimizer,
                                    build_train_step, init_state, lr_at_epoch,
                                    make_step_config, set_learning_rate)
 from sres_tpu.util.larray import LArray
@@ -101,6 +102,14 @@ class ModelTrainer:
                                             ntemporal=ntemporal)
         self._train_step = build_train_step(self.model, self.optimizer, self.step_config, self.mesh)
         self._eval_step = build_eval_step(self.model, self.step_config, self.mesh)
+        # K>1: stage K padded batches and run them in one scanned dispatch
+        # (trainer/step.py:build_multi_train_step). Note the first two multi
+        # dispatches each compile once (the donated carry's layouts differ
+        # from the fresh state's).
+        self.steps_per_dispatch = max(1, int(cfg().pipeline.get("steps_per_dispatch", 1)))
+        self._multi_step = (build_multi_train_step(
+            self.model, self.optimizer, self.step_config, self.mesh)
+            if self.steps_per_dispatch > 1 else None)
 
         self.checkpoint_manager = CheckpointManager()
         # batch-shuffle rng: seeded, NOT the global random module — shuffle
@@ -134,14 +143,15 @@ class ModelTrainer:
         return np.broadcast_to(np.asarray(feat, np.float32)[None, :],
                                (n, feat.shape[0]))
 
-    def _shard_inputs(self, *arrays):
+    def _shard_inputs(self, *arrays, batch_dim: int = 0):
         """Multi-host: each process transfers only its slice of the global
         batch (parallel/mesh.py:make_global_batch); single-process passes
         through untouched (jit device-puts against in_shardings)."""
         if jax.process_count() == 1:
             return arrays
         from sres_tpu.parallel.mesh import make_global_batch
-        return tuple(a if a is None else make_global_batch(np.asarray(a), self.mesh)
+        return tuple(a if a is None else
+                     make_global_batch(np.asarray(a), self.mesh, batch_dim=batch_dim)
                      for a in arrays)
 
     def _run_train_step(self, hr, weight, ctime):
@@ -151,6 +161,19 @@ class ModelTrainer:
             return self._train_step(self.state, hr, weight, t)
         hr, weight = self._shard_inputs(hr, weight)
         return self._train_step(self.state, hr, weight)
+
+    def _run_multi_step(self, staged, ctime):
+        """One scanned dispatch over K staged (hr, weight) padded batches;
+        returns (state, metrics) with (K,)-shaped metric arrays."""
+        hr = np.stack([s[0] for s in staged])
+        w = np.stack([s[1] for s in staged])
+        if self.step_config.ntemporal:
+            n = staged[0][0].shape[0]
+            t = np.stack([self._temporal_arg(ctime, n)] * len(staged))
+            hr, w, t = self._shard_inputs(hr, w, t, batch_dim=1)
+            return self._multi_step(self.state, hr, w, t)
+        hr, w = self._shard_inputs(hr, w, batch_dim=1)
+        return self._multi_step(self.state, hr, w)
 
     def _run_eval_step(self, hr, weight, ctime):
         n = hr.shape[0]
@@ -227,11 +250,13 @@ class ModelTrainer:
         return data, weight, nvalid
 
     def _metrics_to_host(self, metrics_list: List[Dict[str, jnp.ndarray]]) -> Dict[str, np.ndarray]:
-        """One sync point: device metric scalars → host arrays."""
+        """One sync point: device metric scalars → host arrays. Entries may be
+        scalars (per-batch steps) or (K,) vectors (scanned multi-steps)."""
         if not metrics_list:
             return {}
         stacked = jax.device_get(metrics_list)
-        return {k: np.array([m[k] for m in stacked]) for k in stacked[0]}
+        return {k: np.concatenate([np.atleast_1d(np.asarray(m[k])) for m in stacked])
+                for k in stacked[0]}
 
     # ------------------------------------------------------------------ train
     def train(self, nepochs: int, refresh_state: bool = False, **kwargs) -> Dict[str, float]:
@@ -260,7 +285,11 @@ class ModelTrainer:
                 epoch0 = meta.get("epoch", 1)
                 itime0 = meta.get("itime", 0)
                 epoch_loss = meta.get("loss", float("inf"))
-                nepochs += epoch0
+            # reference semantics (dual_trainer.py:290-293): nepochs += epoch0
+            # on EVERY non-refresh run — with no checkpoint epoch0 stays 1, so
+            # `train(n)` runs n epochs (guarding this under `if meta` made a
+            # fresh no-refresh `-ne 1` run train zero epochs)
+            nepochs += epoch0
 
         self.init_data_timestamps()
         interp_epoch_loss = 0.0
@@ -284,11 +313,24 @@ class ModelTrainer:
                 prof = profile_trace("train") if (epoch == epoch0 and itime == itime0) \
                     else nullcontext()
                 with prof:
+                    staged = []
                     for ctile in iter(tile_iter):
                         batch = self.dataset.get_batch_array(ctile, ctime)
                         if batch is None:
                             break
                         hr, weight, nvalid = self._pad_batch(batch)
+                        if self.steps_per_dispatch == 1:
+                            self.state, metrics = self._run_train_step(hr, weight, ctime)
+                            metrics_list.append(metrics)
+                        else:
+                            staged.append((hr, weight))
+                            if len(staged) == self.steps_per_dispatch:
+                                self.state, metrics = self._run_multi_step(staged, ctime)
+                                metrics_list.append(metrics)
+                                staged = []
+                    # ragged tail (< K batches left): per-batch dispatches, so
+                    # the scanned program compiles for exactly one K
+                    for hr, weight in staged:
                         self.state, metrics = self._run_train_step(hr, weight, ctime)
                         metrics_list.append(metrics)
                 m = self._metrics_to_host(metrics_list)

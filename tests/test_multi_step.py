@@ -58,3 +58,23 @@ def test_scan_matches_sequential(lane_pack):
     np.testing.assert_allclose(np.asarray(ms["mloss"]), seq_losses, rtol=2e-5)
     for a, b in zip(jax.tree.leaves(s1.params), jax.tree.leaves(s2.params)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5)
+
+
+def test_trainer_steps_per_dispatch(tmp_path):
+    """pipeline.steps_per_dispatch=2 trains the same trajectory the per-batch
+    loop does (same seeded data order; scan is dispatch-amortization only)."""
+    from tests.test_trainer import synth_ctx
+    from sres_tpu.data.inference_io import TSet
+    from sres_tpu.trainer import ModelTrainer
+
+    losses = {}
+    for k in (1, 2):
+        with synth_ctx(tmp_path / f"k{k}", **{"pipeline.steps_per_dispatch": k,
+                                              "model.nfeatures": 8}) as cc:
+            tr = ModelTrainer(cc, seed=0)
+            assert tr.steps_per_dispatch == k
+            tr.train(nepochs=2, refresh_state=True, seed=0)
+            losses[k] = [r.loss for r in tr.results_accum.results
+                         if r.tset == TSet.Train]
+    assert len(losses[1]) == len(losses[2])
+    np.testing.assert_allclose(losses[1], losses[2], rtol=2e-4)

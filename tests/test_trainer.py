@@ -106,3 +106,14 @@ def test_to_zarr_roundtrip(tmp_path):
         data = read_zarr(store)
         assert data.shape == (4, 1, 192, 144)
         assert np.isnan(data).any() and np.isfinite(data).any()
+
+
+def test_fresh_run_without_refresh_trains(tmp_path):
+    """A fresh run (no checkpoint on disk, refresh_state=False) must train
+    nepochs epochs — the reference adds epoch0 to nepochs on every non-refresh
+    run (dual_trainer.py:290-293). Regression: this used to train 0 epochs."""
+    with synth_ctx(tmp_path) as cc:
+        trainer = ModelTrainer(cc, seed=0)
+        trainer.train(nepochs=1, refresh_state=False, seed=0)
+        recs = [r for r in trainer.results_accum.results if r.tset == TSet.Train]
+        assert len(recs) == 3  # 3 train timeslices x 1 epoch
