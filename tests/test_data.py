@@ -209,3 +209,64 @@ def test_inference_io_roundtrip(tmp_path):
         assert lls == losses
         np.testing.assert_allclose(loaded["target"].data, results["target"].data)
         assert loaded["input"].dims == ("tiles", "y", "x")
+
+
+# ------------------------------------------------------------------- FMBatch
+def test_fmbatch_date_window_merging(tmp_path):
+    """FMBatch merges days_per_batch daily datasets along 'tiles', splits
+    constants (no-tiles vars + task.constants time-means), and serves
+    batch_steps windows (reference: sres/base/source/batch.py:100-113,
+    209-239)."""
+    from datetime import datetime
+
+    from sres_tpu.data.fmbatch import (BatchType, FMBatch,
+                                       merge_temporal_batch)
+
+    steps_per_day = 4  # hours_per_step 6
+
+    class Loader:
+        def load_const_dataset(self, **kw):
+            return {"oro": LArray(np.full((6, 6), 2.0, np.float32), ["y", "x"])}
+
+        def load_dataset(self, day, vres="high"):
+            base = float(day.day)
+            dyn = np.arange(steps_per_day, dtype=np.float32).reshape(-1, 1, 1)
+            return {
+                "sst": LArray(np.broadcast_to(base + dyn, (steps_per_day, 6, 6)).copy(),
+                              ["tiles", "y", "x"]),
+                "mask": LArray(np.full((steps_per_day, 6, 6), base, np.float32),
+                               ["tiles", "y", "x"]),
+                "lat": LArray(np.zeros((6,), np.float32), ["y"]),
+            }
+
+    with synth_ctx(tmp_path, **{
+            "task.hours_per_step": 6, "task.nsteps_input": 2,
+            "task.train_steps": [1, 2], "task.constants": ["mask"]}):
+        fmb = FMBatch(BatchType.Training, Loader())
+        # batch_steps = 2 input + 2 target = 4; days/batch = 1 + ceil(3/4) = 2
+        assert fmb.batch_steps == 4 and fmb.days_per_batch == 2
+        fmb.load(datetime(2020, 1, 5))
+        b = fmb.current_batch
+        # dynamics concatenated over both days
+        assert b["sst"].shape == (2 * steps_per_day, 6, 6)
+        assert b["sst"].data[0, 0, 0] == 5.0 and b["sst"].data[steps_per_day, 0, 0] == 6.0
+        # 'mask' is in task.constants -> time-averaged, tiles dim dropped
+        assert b["mask"].dims == ("y", "x")
+        np.testing.assert_allclose(b["mask"].data, 5.0)  # day-5 slice mean
+        # no-tiles var and loader constants preserved
+        assert b["lat"].dims == ("y",) and b["oro"].data[0, 0] == 2.0
+        # offset window
+        win = fmb.get_train_data(3)
+        assert win["sst"].shape == (4, 6, 6) and win["sst"].data[0, 0, 0] == 8.0
+        ts = fmb.get_time_slice(1)
+        assert ts["sst"].dims == ("y", "x") and ts["sst"].data[0, 0] == 6.0
+        # feature stacking: trailing sorted-name features dim
+        feat = FMBatch.to_feature_array({"sst": win["sst"],
+                                         "ssh": win["sst"].copy()})
+        assert feat.dims[-1] == "features"
+        assert list(feat.coords["features"]) == ["ssh", "sst"]
+        # merge precedence: dynamics override constants on collision
+        clash = merge_temporal_batch(
+            [Loader().load_dataset(datetime(2020, 1, 1))],
+            {"sst": LArray(np.zeros((6, 6), np.float32), ["y", "x"])})
+        assert "tiles" in clash["sst"].dims
