@@ -48,6 +48,9 @@ def main() -> None:
     p.add_argument("--cpu", action="store_true",
                    help="force the CPU backend (contract tests; the axon "
                         "sitecustomize overrides JAX_PLATFORMS)")
+    p.add_argument("--int8", action="store_true",
+                   help="opt-in AQT int8 trunk convs (model.quantization: "
+                        "int8) — changes numerics, serving-oriented")
     p.add_argument("--scan", type=int, default=0,
                    help="K>0: run K optimizer steps per device dispatch "
                         "(lax.scan over K staged batches) — amortizes "
@@ -76,7 +79,8 @@ def main() -> None:
         mcfg = dict(name="rcan", nfeatures=args.nfeatures, nlayers=args.nlayers,
                     nblocks=args.nblocks, cbottleneck=2, kernel_size=3,
                     downscale_factors=[2, 2], loss_fn="l2", lane_pack=args.lane_pack,
-                    fused=args.fused)
+                    fused=args.fused,
+                    quantization="int8" if args.int8 else None)
     precision = "f32" if args.f32 else "bf16"
     model = build_model(mcfg, 1, 1, precision=precision)
 
@@ -155,7 +159,8 @@ def main() -> None:
     fwd_bwd = 1 if args.eval else 3
     flops_per_tile = fwd_bwd * 83.4e9 * (args.nlayers / 10) * (args.nblocks / 20) \
         * (args.nfeatures / 64) ** 2
-    mfu = per_chip * flops_per_tile / 197e12
+    peak = 394e12 if args.int8 else 197e12   # v5e int8 MXU peak is 2x bf16
+    mfu = per_chip * flops_per_tile / peak
     print(json.dumps({
         "metric": (f"{args.model_yaml or 'rcan-10-20-64'} x4 "
                    f"{'eval' if args.eval else 'train'} throughput "
@@ -166,7 +171,7 @@ def main() -> None:
                                          else A100_BASELINE_TILES_PER_SEC), 3),
         "detail": {
             "devices": ndev, "batch": batch, "steps": args.steps,
-            "precision": precision, "lane_pack": args.lane_pack, "fused": args.fused, "scan": scan, "step_ms": round(1000 * dt / args.steps, 2),
+            "precision": precision, "lane_pack": args.lane_pack, "fused": args.fused, "scan": scan, "int8": args.int8, "step_ms": round(1000 * dt / args.steps, 2),
             "loss": loss_val, "mfu": round(mfu, 4),
             "baseline_estimate": "A100 eager fp32 reference loop ≈ 135 tiles/s (see docstring)",
         },

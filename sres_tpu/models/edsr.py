@@ -22,6 +22,7 @@ class EDSR(nn.Module):
     res_scale: float = 1.0
     use_bias: bool = True
     lane_pack: int = 1        # tiles packed per image in the trunk (PERF.md)
+    quantization: Optional[str] = None  # 'int8': AQT trunk convs (opt-in)
     dtype: Optional[Any] = None
 
     @nn.compact
@@ -36,9 +37,10 @@ class EDSR(nn.Module):
         skip = res
         for _ in range(self.nlayers):
             res = ResBlock(self.nfeatures, self.kernel_size, self.use_bias,
-                           self.res_scale, dtype=d, pack=pk)(res)
+                           self.res_scale, dtype=d, pack=pk,
+                           quant=self.quantization)(res)
         res = Conv(self.nfeatures, self.kernel_size, use_bias=self.use_bias,
-                   dtype=d, pack=pk)(res)
+                   dtype=d, pack=pk, quant=self.quantization)(res)
         res = res + skip
         if pk > 1:
             res = unpack_tiles(res, pk)
@@ -50,11 +52,11 @@ class EDSR(nn.Module):
 
 
 def build(model_cfg, nchannels_in: int, nchannels_out: int, dtype=None, temporal_features=None):
-    p = resolve_parms(model_cfg, dict(lane_pack=1),
+    p = resolve_parms(model_cfg, dict(lane_pack=1, quantization=None),
                       nchannels_in=nchannels_in, nchannels_out=nchannels_out)
     return EDSR(
         nchannels_in=p["nchannels_in"], nchannels_out=p["nchannels_out"],
         nfeatures=p["nfeatures"], nlayers=p["nlayers"], kernel_size=p["kernel_size"],
         scale=p["scale"], res_scale=p["res_scale"], use_bias=p["bias"],
-        lane_pack=int(p["lane_pack"]), dtype=dtype,
+        lane_pack=int(p["lane_pack"]), quantization=p["quantization"], dtype=dtype,
     )

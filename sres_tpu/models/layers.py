@@ -24,6 +24,24 @@ Dtype = Any
 # which is variance_scaling(1/3, fan_in, uniform).
 torch_kernel_init = jax.nn.initializers.variance_scaling(1.0 / 3.0, "fan_in", "uniform")
 
+_AQT_CONV = None
+
+
+def aqt_conv_fn():
+    """Drop-in ``lax.conv_general_dilated`` that dynamically quantizes both
+    operands to int8 (per-tensor absmax) and runs the conv on the int8 MXU
+    path (v5e: 394 TOPS peak vs 197 bf16 — measured 1.38 vs 3.93 ms/conv
+    like-for-like, scripts/bench/micro_aqt.py). Opt-in via
+    ``model.quantization: int8``; changes numerics (~1.4%% relative error per
+    conv) so it is never a default."""
+    global _AQT_CONV
+    if _AQT_CONV is None:
+        from aqt.jax.v2 import config as aqt_config
+        from aqt.jax.v2.aqt_conv_general import make_conv_general_dilated
+        _AQT_CONV = make_conv_general_dilated(
+            aqt_config.conv_general_dilated_make(2, lhs_bits=8, rhs_bits=8))
+    return _AQT_CONV
+
 
 def torch_bias_init(key, shape, dtype, fan_in: int):
     bound = 1.0 / math.sqrt(fan_in) if fan_in > 0 else 0.0
@@ -58,6 +76,7 @@ class _PackedConvCore(nn.Module):
     use_bias: bool = True
     dtype: Optional[Dtype] = None
     padding: Any = None
+    quant: Optional[str] = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -80,9 +99,11 @@ class _PackedConvCore(nn.Module):
         pad = self.padding if self.padding is not None else [(k // 2, k // 2)] * 2
         dn = jax.lax.conv_dimension_numbers(x.shape, big.shape,
                                             ("NHWC", "HWIO", "NHWC"))
-        y = jax.lax.conv_general_dilated(
+        conv = aqt_conv_fn() if self.quant == "int8" else jax.lax.conv_general_dilated
+        pet = jnp.float32 if self.quant == "int8" else dt
+        y = conv(
             x.astype(dt), big.astype(dt), (self.stride, self.stride), pad,
-            dimension_numbers=dn, preferred_element_type=dt)
+            dimension_numbers=dn, preferred_element_type=pet).astype(dt)
         if bias is not None:
             y = y + jnp.tile(bias, p).astype(dt)
         return y
@@ -99,6 +120,7 @@ class Conv(nn.Module):
     dtype: Optional[Dtype] = None
     padding: Any = None   # default: torch's k//2 zero padding
     pack: int = 1
+    quant: Optional[str] = None   # 'int8': AQT-quantized conv (opt-in)
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -106,7 +128,7 @@ class Conv(nn.Module):
         if self.pack > 1:
             return _PackedConvCore(
                 self.features, k, self.pack, self.stride, self.use_bias,
-                self.dtype, self.padding, name="Conv_0")(x)
+                self.dtype, self.padding, self.quant, name="Conv_0")(x)
         pad = self.padding if self.padding is not None else [(k // 2, k // 2)] * 2
         fan_in = x.shape[-1] * k * k
         return nn.Conv(
@@ -114,6 +136,7 @@ class Conv(nn.Module):
             use_bias=self.use_bias, dtype=self.dtype,
             kernel_init=torch_kernel_init,
             bias_init=lambda key, shape, dt: torch_bias_init(key, shape, dt, fan_in),
+            conv_general_dilated=(aqt_conv_fn() if self.quant == "int8" else None),
         )(x)
 
 
@@ -202,12 +225,15 @@ class RCAB(nn.Module):
     reduction: int = 16
     dtype: Optional[Dtype] = None
     pack: int = 1
+    quant: Optional[str] = None   # trunk 3x3 convs only; CA 1x1s stay full-prec
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
-        r = Conv(self.features, self.kernel_size, dtype=self.dtype, pack=self.pack)(x)
+        r = Conv(self.features, self.kernel_size, dtype=self.dtype, pack=self.pack,
+                 quant=self.quant)(x)
         r = nn.relu(r)
-        r = Conv(self.features, self.kernel_size, dtype=self.dtype, pack=self.pack)(r)
+        r = Conv(self.features, self.kernel_size, dtype=self.dtype, pack=self.pack,
+                 quant=self.quant)(r)
         r = CALayer(self.features, self.reduction, dtype=self.dtype, pack=self.pack)(r)
         return x + r
 
@@ -220,14 +246,16 @@ class ResidualGroup(nn.Module):
     nblocks: int
     dtype: Optional[Dtype] = None
     pack: int = 1
+    quant: Optional[str] = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         r = x
         for _ in range(self.nblocks):
             r = RCAB(self.features, self.kernel_size, self.reduction,
-                     dtype=self.dtype, pack=self.pack)(r)
-        r = Conv(self.features, self.kernel_size, dtype=self.dtype, pack=self.pack)(r)
+                     dtype=self.dtype, pack=self.pack, quant=self.quant)(r)
+        r = Conv(self.features, self.kernel_size, dtype=self.dtype, pack=self.pack,
+                 quant=self.quant)(r)
         return x + r
 
 
@@ -239,14 +267,15 @@ class ResBlock(nn.Module):
     res_scale: float = 1.0
     dtype: Optional[Dtype] = None
     pack: int = 1
+    quant: Optional[str] = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         r = Conv(self.features, self.kernel_size, use_bias=self.use_bias,
-                 dtype=self.dtype, pack=self.pack)(x)
+                 dtype=self.dtype, pack=self.pack, quant=self.quant)(x)
         r = nn.relu(r)
         r = Conv(self.features, self.kernel_size, use_bias=self.use_bias,
-                 dtype=self.dtype, pack=self.pack)(r)
+                 dtype=self.dtype, pack=self.pack, quant=self.quant)(r)
         return x + r * self.res_scale
 
 

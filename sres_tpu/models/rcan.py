@@ -31,6 +31,8 @@ class RCAN(nn.Module):
     fused: bool = False       # use the fused-RCAB Pallas kernel
     pervar_heads: bool = False  # separate output conv per target variable
     lane_pack: int = 1        # tiles packed per image in the trunk (PERF.md)
+    quantization: Optional[str] = None  # 'int8': AQT trunk convs (opt-in,
+    # changes numerics; head/tail/upsampler/CA stay full precision)
     dtype: Optional[Any] = None
 
     @nn.compact
@@ -58,9 +60,9 @@ class RCAN(nn.Module):
             else:
                 res = ResidualGroup(self.nfeatures, self.kernel_size,
                                     self.cbottleneck, self.nblocks, dtype=d,
-                                    pack=pk)(res)
+                                    pack=pk, quant=self.quantization)(res)
         res = Conv(self.nfeatures, self.kernel_size, use_bias=self.use_bias,
-                   dtype=d, pack=pk)(res)
+                   dtype=d, pack=pk, quant=self.quantization)(res)
         res = res + skip
         if pk > 1:
             res = unpack_tiles(res, pk)
@@ -80,7 +82,8 @@ class RCAN(nn.Module):
 
 def build(model_cfg, nchannels_in: int, nchannels_out: int, dtype=None, temporal_features=None):
     p = resolve_parms(model_cfg, dict(cbottleneck=2, nblocks=20, fused=False,
-                                      pervar_heads=False, lane_pack=1),
+                                      pervar_heads=False, lane_pack=1,
+                                      quantization=None),
                       nchannels_in=nchannels_in, nchannels_out=nchannels_out)
     return RCAN(
         nchannels_in=p["nchannels_in"], nchannels_out=p["nchannels_out"],
@@ -88,5 +91,5 @@ def build(model_cfg, nchannels_in: int, nchannels_out: int, dtype=None, temporal
         cbottleneck=p["cbottleneck"], kernel_size=p["kernel_size"],
         scale=p["scale"], use_bias=p["bias"], fused=bool(p["fused"]),
         pervar_heads=bool(p["pervar_heads"]), lane_pack=int(p["lane_pack"]),
-        dtype=dtype,
+        quantization=p["quantization"], dtype=dtype,
     )

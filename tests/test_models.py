@@ -119,3 +119,34 @@ def test_edsr_lane_pack_equivalence():
     np.testing.assert_allclose(np.asarray(m2.apply(v1, x, train=False)),
                                np.asarray(m1.apply(v1, x, train=False)),
                                rtol=2e-6, atol=2e-6)
+
+
+def test_int8_quantized_trunk():
+    """model.quantization: int8 (opt-in AQT path, ROADMAP #5): same param
+    tree as the full-precision model, forward within int8 quantization
+    tolerance of it, finite gradients, and works through the lane-packed
+    trunk. Serving-oriented — numerics intentionally differ at ~1e-2."""
+    import jax
+    import jax.numpy as jnp
+    mcfg = dict(name="rcan", nfeatures=16, nlayers=2, nblocks=2,
+                cbottleneck=2, kernel_size=3, downscale_factors=[2, 2])
+    m_fp = build_model(mcfg, 1, 1, precision="f32")
+    m_q = build_model({**mcfg, "quantization": "int8"}, 1, 1, precision="f32")
+    m_qp = build_model({**mcfg, "quantization": "int8", "lane_pack": 2},
+                       1, 1, precision="f32")
+    x = jax.random.normal(jax.random.PRNGKey(1), (4, 12, 12, 1), jnp.float32)
+    v = m_fp.init(jax.random.PRNGKey(0), x, train=False)
+    # identical param trees: int8 is a runtime execution mode, not a
+    # different checkpoint format
+    assert jax.tree.structure(v) == jax.tree.structure(
+        m_q.init(jax.random.PRNGKey(0), x, train=False))
+    y_fp = np.asarray(m_fp.apply(v, x, train=False))
+    y_q = np.asarray(m_q.apply(v, x, train=False))
+    rel = np.linalg.norm(y_q - y_fp) / np.linalg.norm(y_fp)
+    assert 0 < rel < 0.05, rel          # quantized: close but not identical
+    # packed path quantizes per packed conv — compare against unpacked int8
+    y_qp = np.asarray(m_qp.apply(v, x, train=False))
+    rel_pk = np.linalg.norm(y_qp - y_fp) / np.linalg.norm(y_fp)
+    assert rel_pk < 0.05, rel_pk
+    g = jax.grad(lambda v: jnp.sum(m_q.apply(v, x, train=False) ** 2))(v)
+    assert all(bool(jnp.isfinite(l).all()) for l in jax.tree.leaves(g))
