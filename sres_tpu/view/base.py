@@ -15,12 +15,17 @@ class Plot:
         self.axs = None
 
     def create_figure(self, nrows: int = 1, ncols: int = 1, sharex: bool = False,
-                      sharey: bool = False, title: Optional[str] = None):
+                      sharey: bool = False, title: Optional[str] = None,
+                      callbacks: Optional[dict] = None):
+        """callbacks: {mpl event name: handler} wired via mpl_connect
+        (reference: view/plot/base.py create_figure + images.py:66)."""
         self.fig, self.axs = self.plt.subplots(
             nrows, ncols, sharex=sharex, sharey=sharey,
             figsize=[self.fsize, self.fsize * 0.75 * nrows / max(ncols, 1)])
         if title:
             self.fig.suptitle(title)
+        for event, handler in (callbacks or {}).items():
+            self.fig.canvas.mpl_connect(event, handler)
         return self.fig, self.axs
 
     def plot(self) -> Any:

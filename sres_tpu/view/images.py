@@ -23,9 +23,25 @@ class ResultImagePlot(Plot):
         images, losses = self.trainer.process_image(self.tset, self.itime, var=self.varname)
         return images.get(self.varname, {}), losses.get(self.varname, {})
 
+    def select_point(self, event) -> None:
+        """Image click callback (reference: images.py:66,97-98); subclasses
+        or notebooks may override to pick tiles / probe values."""
+        from sres_tpu.util.logging import lgm
+        if event.xdata is not None and event.ydata is not None:
+            lgm().log(f"Mouse click: button={event.button}, "
+                      f"x={event.xdata:.2f}, y={event.ydata:.2f}")
+
+    def _title(self, panel, losses) -> str:
+        loss = losses.get({"model": "model", "interpolated": "interpolated"}
+                          .get(panel, ""), None)
+        return panel if loss is None else f"{panel}, loss={1e3 * loss:.3f}"
+
     def plot(self):
         images, losses = self._compute()
-        fig, axs = self.create_figure(2, 2, title=f"{self.varname} region t={self.itime}")
+        fig, axs = self.create_figure(
+            2, 2, title=f"{self.varname} region t={self.itime}",
+            callbacks=dict(button_press_event=self.select_point))
+        self._axes = {}
         for k, panel in enumerate(PANELS):
             ax = axs[k // 2][k % 2]
             if panel not in images:
@@ -34,8 +50,8 @@ class ResultImagePlot(Plot):
             img = np.asarray(images[panel].data).squeeze()
             vmin, vmax = cscale(img)
             self.ims[panel] = ax.imshow(img, origin="lower", cmap="jet", vmin=vmin, vmax=vmax)
-            suffix = f" loss={losses.get('model', float('nan')):.4f}" if panel == "model" else ""
-            ax.set_title(panel + suffix)
+            self._axes[panel] = ax
+            ax.set_title(self._title(panel, losses))
         try:
             import ipywidgets as ipw
             nts = len(self.trainer.data_timestamps.get(TSet.Train, [1]))
@@ -46,8 +62,12 @@ class ResultImagePlot(Plot):
 
     def _set_time(self, i: int) -> None:
         self.itime = i
-        images, _ = self._compute()
+        images, losses = self._compute()
+        if self.fig is not None:
+            self.fig.suptitle(f"{self.varname} region t={self.itime}")
         for panel, im in self.ims.items():
             img = np.asarray(images[panel].data).squeeze()
             im.set_data(img)
             im.set_clim(*cscale(img))
+            if getattr(self, "_axes", {}).get(panel) is not None:
+                self._axes[panel].set_title(self._title(panel, losses))

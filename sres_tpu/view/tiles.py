@@ -26,9 +26,19 @@ class ResultTilePlot(Plot):
     def _load(self):
         return load_inference_results(self.varname, ResultStructure.Tiles, self.itime)
 
+    def _rmse_suffix(self, panel, results, tile) -> str:
+        """RMSE-vs-target in the panel title (reference: tiles.py:137-208)."""
+        if panel in ("model", "interpolated") and "target" in results:
+            arr = np.asarray(results["target"].data)
+            tgt = arr[min(self.itile, arr.shape[0] - 1)].squeeze()
+            if tgt.shape == tile.shape:
+                return f" rmse={np.sqrt(np.nanmean((tile - tgt) ** 2)):.4f}"
+        return ""
+
     def plot(self):
         results, losses = self._load()
         fig, axs = self.create_figure(2, 2, title=f"{self.varname} tiles")
+        self._axes = {}
         ntiles = results["target"].shape[0]
         for k, panel in enumerate(PANELS):
             ax = axs[k // 2][k % 2]
@@ -40,12 +50,8 @@ class ResultTilePlot(Plot):
             vmin, vmax = cscale(tile)
             self.ims[panel] = ax.imshow(tile, origin="lower", cmap="jet",
                                         vmin=vmin, vmax=vmax)
-            rmse = ""
-            if panel in ("model", "interpolated") and "target" in results:
-                tgt = np.asarray(results["target"].data)[min(self.itile, ntiles - 1)].squeeze()
-                if tgt.shape == tile.shape:
-                    rmse = f" rmse={np.sqrt(np.nanmean((tile - tgt) ** 2)):.4f}"
-            ax.set_title(f"{panel}{rmse}")
+            self._axes[panel] = ax
+            ax.set_title(f"{panel}{self._rmse_suffix(panel, results, tile)}")
         try:
             import ipywidgets as ipw
             tslider = StepSlider("time", len(self.tsteps), self._set_time)
@@ -70,3 +76,6 @@ class ResultTilePlot(Plot):
             tile = arr[min(self.itile, arr.shape[0] - 1)].squeeze()
             im.set_data(tile)
             im.set_clim(*cscale(tile))
+            ax = getattr(self, "_axes", {}).get(panel)
+            if ax is not None:
+                ax.set_title(f"{panel}{self._rmse_suffix(panel, results, tile)}")

@@ -126,3 +126,61 @@ def test_graphcast_stacking_helpers():
                                means={"SST": 15.0, "SSS": 35.0})
     assert abs(float(normed["SST"].data.mean())) < 0.2
     np.testing.assert_allclose(normed["SSS"].data, sss.data - 35.0, rtol=1e-6)
+
+
+def test_result_browsers_refresh_and_click(tmp_path):
+    """Tile/image browsers (reference: sres/view/plot/{tiles,images}.py):
+    stepping time/tile refreshes imshow data, clims AND the RMSE/loss
+    titles; the image browser wires the button_press click callback."""
+    import matplotlib
+    matplotlib.use("Agg")
+    from sres_tpu.data.inference_io import ResultStructure, TSet, save_inference_results
+    from sres_tpu.util.larray import LArray
+    from sres_tpu.view.images import ResultImagePlot
+    from sres_tpu.view.tiles import ResultTilePlot
+
+    ConfigContext.set_defaults(platform="local", task="synthetic-tiles-48",
+                               dataset="synthetic", pipeline="sres")
+    with ConfigContext("sres", model="edsr", **{"platform.root": str(tmp_path)}):
+        rng = np.random.default_rng(0)
+        mk = lambda scale=1.0: LArray(
+            (scale * rng.normal(size=(3, 16, 16))).astype(np.float32),
+            ["tiles", "y", "x"])
+        for t in (0, 1):
+            save_inference_results(
+                "SST", ResultStructure.Tiles,
+                {"input": mk(), "target": mk(), "interpolated": mk(),
+                 "model": mk(10.0 if t else 1.0)},
+                t, dict(model=0.1 * (t + 1), interpolated=0.2))
+
+        class FakeTrainer:
+            target_variables = ["SST"]
+            data_timestamps = {TSet.Train: [0, 1]}
+
+            def process_image(self, tset, itime, var=None, **kw):
+                img = lambda: LArray(rng.normal(size=(16, 16)).astype(np.float32),
+                                     ["y", "x"])
+                return ({"SST": {"input": img(), "target": img(),
+                                 "interpolated": img(), "model": img()}},
+                        {"SST": dict(model=0.05 * (itime + 1), interpolated=0.1)})
+
+        tp = ResultTilePlot(FakeTrainer(), TSet.Validation)
+        assert tp.plot() is not None
+        t0_title = tp._axes["model"].get_title()
+        assert "rmse=" in t0_title
+        tp._set_time(1)          # model panel scale jumps 10x -> rmse changes
+        assert tp._axes["model"].get_title() != t0_title
+        before = np.asarray(tp.ims["model"].get_array())
+        tp._set_tile(1)
+        assert not np.array_equal(np.asarray(tp.ims["model"].get_array()), before)
+
+        ip = ResultImagePlot(FakeTrainer(), TSet.Validation, "SST")
+        assert ip.plot() is not None
+        assert "loss=50.000" in ip._axes["model"].get_title()
+        ip._set_time(1)
+        assert "loss=100.000" in ip._axes["model"].get_title()
+
+        # click callback is wired and handles events without raising
+        class Ev:
+            button, xdata, ydata = 1, 3.0, 4.0
+        ip.select_point(Ev())
