@@ -53,3 +53,36 @@ def halo_conv2d(x: jnp.ndarray, w: jnp.ndarray, mesh: Mesh,
                    out_specs=P(None, axis, None, None))
     xs = jax.device_put(x, NamedSharding(mesh, P(None, axis, None, None)))
     return fn(xs, w)
+
+
+def infer_region_sharded(model, variables, region: jnp.ndarray, mesh: Mesh,
+                         axis: Optional[str] = None):
+    """Whole-model spatially-partitioned inference: the region's H axis is
+    sharded over a mesh axis and the FULL network runs under GSPMD, which
+    inserts the conv halo exchanges and the channel-attention all-reduces
+    automatically (the scaling-book recipe: annotate shardings, let XLA
+    place collectives on ICI).
+
+    This is the SPMD alternative to host-side region tiling
+    (trainer.infer_region_seamless) for regions that exceed one chip's HBM:
+    activations never materialize unsharded, and the result stays sharded
+    for downstream sharded consumers. ``halo_conv2d`` above is the explicit
+    single-op primitive; this is the production whole-model path.
+
+    region: (B, H, W, C) with H divisible by the mesh axis size.
+    Returns the SR output as a jax.Array sharded the same way.
+    """
+    axis = axis or mesh.axis_names[0]
+    n = mesh.shape[axis]
+    assert region.shape[1] % n == 0, \
+        f"H={region.shape[1]} not divisible by mesh axis {axis}={n}"
+    sharding = NamedSharding(mesh, P(None, axis, None, None))
+    rep = NamedSharding(mesh, P())
+    x = jax.device_put(region, sharding)
+
+    @jax.jit
+    def fn(v, xin):
+        y = model.apply(v, xin, train=False)
+        return lax.with_sharding_constraint(y, sharding)
+
+    return fn(jax.device_put(variables, rep), x)

@@ -168,3 +168,29 @@ def test_halo_conv2d_matches_unsharded():
         got = halo_conv2d(x, w, mesh)
         np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                    rtol=1e-5, atol=1e-5)
+
+
+def test_infer_region_sharded_matches_unsharded():
+    """Whole-model spatial partitioning: RCAN (convs + global-pool channel
+    attention + pixel shuffle) on an H-sharded region under GSPMD matches
+    the single-device forward bitwise-ish; output sharding is preserved."""
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import PartitionSpec as P
+    from sres_tpu.models import build_model
+    from sres_tpu.parallel.mesh import get_mesh
+    from sres_tpu.parallel.spatial import infer_region_sharded
+
+    mcfg = dict(name="rcan", nfeatures=16, nlayers=2, nblocks=2, cbottleneck=2,
+                kernel_size=3, downscale_factors=[2, 2], loss_fn="l2")
+    model = build_model(mcfg, 1, 1, precision="f32")
+    rng = np.random.default_rng(0)
+    region = jnp.asarray(rng.normal(size=(1, 64, 24, 1)).astype(np.float32))
+    variables = model.init(jax.random.PRNGKey(0), region, train=False)
+    want = model.apply(variables, region, train=False)
+
+    mesh = get_mesh({"spatial": 8})
+    got = infer_region_sharded(model, variables, region, mesh)
+    assert tuple(got.sharding.spec)[:2] == (None, "spatial")
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-5, atol=2e-5)
