@@ -240,6 +240,18 @@ class ConfigContext:
         dev = self.configuration.get("gpu", os.getenv("SRES_DEVICE", os.getenv("FMOD_GPU")))
         if dev is not None:
             c.pipeline["gpu"] = int(dev)
+        # backend platform: pipeline.device / SRES_PLATFORM forces a JAX
+        # backend (e.g. cpu) — needed because an installed plugin may
+        # force-register an accelerator and override JAX_PLATFORMS
+        plat = self.configuration.get(
+            "pipeline.device", os.getenv("SRES_PLATFORM", c.pipeline.get("device")))
+        if plat:
+            import jax
+            try:
+                jax.config.update("jax_platforms", str(plat))
+            except RuntimeError as exc:    # backend already initialized
+                from sres_tpu.util.logging import lgm
+                lgm().log(f"pipeline.device={plat} ignored: {exc}")
         c.task["name"] = self.task
         c.task["dataset"] = self.dataset
         c.task["training_version"] = self.cid

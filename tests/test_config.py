@@ -81,3 +81,23 @@ def test_cfg2meta_and_coord_helpers(tmp_path):
     assert get_data_coords(arr, {"y": 0.7, "x": 24.0}) == {"y": 0.5, "x": 20.0}
     assert get_data_indices(arr, {"y": 0.7, "x": 24.0}) == {"y": 1, "x": 1}
     assert cdelta(arr) == {"y": 0.5, "x": 10.0}
+
+
+def test_pipeline_device_forces_backend():
+    """pipeline.device / SRES_PLATFORM forces the JAX backend at context
+    activation — required because an installed platform plugin can
+    force-register an accelerator and override the JAX_PLATFORMS env var
+    (CLAUDE.md). Idempotent when the backend is already initialized to the
+    requested platform; a conflicting late request is ignored with a log,
+    never an exception."""
+    import jax
+    ConfigContext.set_defaults(platform="local", task="synthetic-tiles-48",
+                               dataset="synthetic", pipeline="sres")
+    with ConfigContext("sres", model="edsr", **{"pipeline.device": "cpu"}):
+        assert jax.default_backend() == "cpu"
+    # conflicting request after backend init: no exception, no backend
+    # change (JAX accepts the config update but the backend is already
+    # materialized)
+    with ConfigContext("sres", model="edsr", **{"pipeline.device": "tpu"}):
+        assert jax.default_backend() == "cpu"
+    jax.config.update("jax_platforms", "cpu")   # restore for later tests
