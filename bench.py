@@ -43,6 +43,9 @@ def main() -> None:
                    help="fused Pallas residual-group kernel (packed trunk)")
     p.add_argument("--eval", action="store_true",
                    help="measure inference (eval-step) throughput instead of training")
+    p.add_argument("--serve", action="store_true",
+                   help="measure pure serving throughput: jitted forward on "
+                        "LR tiles only (no LR synthesis, no losses)")
     p.add_argument("--model-yaml", type=str, default="",
                    help="bench any config/model/<NAME>.yaml instead of the flagship")
     p.add_argument("--cpu", action="store_true",
@@ -95,8 +98,22 @@ def main() -> None:
     mesh = get_mesh({"data": -1})
     ndev = mesh.shape["data"]
     batch = ((args.batch + ndev - 1) // ndev) * ndev
-    scan = 0 if args.eval else args.scan
-    if args.eval:
+    scan = 0 if (args.eval or args.serve) else args.scan
+    if args.serve:
+        from sres_tpu.parallel.mesh import batch_sharding, replicated
+        variables = {"params": state.params}
+        if has_bn and state.batch_stats:
+            variables["batch_stats"] = state.batch_stats
+        fwd = jax.jit(lambda v, x: model.apply(v, x, train=False),
+                      in_shardings=(replicated(mesh), batch_sharding(mesh)),
+                      out_shardings=batch_sharding(mesh))
+
+        def train_step(state, hr, w):
+            # hr here is the LR NHWC batch (see input staging below)
+            out = fwd(variables, hr)
+            out = out[-1] if isinstance(out, tuple) else out
+            return state, {"mloss": out.ravel()[0]}
+    elif args.eval:
         eval_step = build_eval_step(model, sc, mesh)
         train_step = lambda state, hr, w: (state, eval_step(state, hr, w)[0])
     elif scan > 0:
@@ -115,7 +132,8 @@ def main() -> None:
         wstack = jnp.ones((scan, batch), jnp.float32)
     else:
         nbuf = 4
-        hrs = [jnp.asarray(rng.normal(size=(batch, 1, 192, 192)).astype(np.float32))
+        shape = (batch, 48, 48, 1) if args.serve else (batch, 1, 192, 192)
+        hrs = [jnp.asarray(rng.normal(size=shape).astype(np.float32))
                for _ in range(nbuf)]
         weight = jnp.ones((batch,), jnp.float32)
 
@@ -156,18 +174,19 @@ def main() -> None:
     per_chip = tiles_per_sec / ndev
     # MFU: useful model FLOPs (fwd 83.4 GF/tile for rcan-10-20-64 — PERF.md
     # roofline — x3 for fwd+bwd) over the v5e bf16 peak (197 TFLOP/s)
-    fwd_bwd = 1 if args.eval else 3
+    fwd_bwd = 1 if (args.eval or args.serve) else 3
     flops_per_tile = fwd_bwd * 83.4e9 * (args.nlayers / 10) * (args.nblocks / 20) \
         * (args.nfeatures / 64) ** 2
     peak = 394e12 if args.int8 else 197e12   # v5e int8 MXU peak is 2x bf16
     mfu = per_chip * flops_per_tile / peak
     print(json.dumps({
         "metric": (f"{args.model_yaml or 'rcan-10-20-64'} x4 "
-                   f"{'eval' if args.eval else 'train'} throughput "
-                   "(48x48 LR tiles/sec/chip)"),
+                   f"{'serve' if args.serve else 'eval' if args.eval else 'train'} "
+                   "throughput (48x48 LR tiles/sec/chip)"),
         "value": round(per_chip, 2),
         "unit": "tiles/s/chip",
-        "vs_baseline": round(per_chip / (A100_BASELINE_EVAL_TILES_PER_SEC if args.eval
+        "vs_baseline": round(per_chip / (A100_BASELINE_EVAL_TILES_PER_SEC
+                                         if (args.eval or args.serve)
                                          else A100_BASELINE_TILES_PER_SEC), 3),
         "detail": {
             "devices": ndev, "batch": batch, "steps": args.steps,

@@ -13,6 +13,9 @@ p.add_argument("--model", required=True)
 p.add_argument("--task", required=True)
 p.add_argument("--dataset", required=True)
 p.add_argument("--platform", default="explore")
+p.add_argument("--seed", type=int, default=None,
+               help="reproducible runs; default matches the reference: "
+                    "int(time.time()/60), i.e. varies per run")
 p.add_argument("overrides", nargs="*", help="dot-key overrides: task.lr=1e-4")
 args, _ = p.parse_known_args()
 
@@ -27,5 +30,6 @@ for ov in args.overrides:
 
 configuration = dict(task=args.task, dataset=args.dataset,
                      pipeline="sres", platform=args.platform)
-controller = WorkflowController("sres", configuration, interp_loss=True)
+kw = {} if args.seed is None else {"seed": args.seed}
+controller = WorkflowController("sres", configuration, interp_loss=True, **kw)
 controller.train([args.model], **ccustom)

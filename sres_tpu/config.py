@@ -245,7 +245,7 @@ class ConfigContext:
         # force-register an accelerator and override JAX_PLATFORMS
         plat = self.configuration.get(
             "pipeline.device", os.getenv("SRES_PLATFORM", c.pipeline.get("device")))
-        if plat:
+        if plat and str(plat) != "auto":
             import jax
             try:
                 jax.config.update("jax_platforms", str(plat))

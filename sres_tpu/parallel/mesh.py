@@ -88,3 +88,15 @@ def make_global_batch(batch: np.ndarray, mesh: Mesh, axis: str = "data",
     idx[batch_dim] = host_batch_slice(batch.shape[batch_dim])
     local = np.ascontiguousarray(batch[tuple(idx)])
     return jax.make_array_from_process_local_data(sharding, local, batch.shape)
+
+
+def sync_seed(seed: int) -> int:
+    """Agree on one seed across hosts. The reference's controller defaults
+    its seed to ``int(time.time()/60)`` (workflow.py:21) — faithful here,
+    but on a multi-host mesh hosts can straddle a minute boundary and
+    diverge, which would break the every-host-builds-the-same-global-batch
+    contract (host_batch_slice above). Process 0's seed wins."""
+    if jax.process_count() == 1:
+        return int(seed)
+    from jax.experimental import multihost_utils
+    return int(multihost_utils.broadcast_one_to_all(np.int64(seed)))

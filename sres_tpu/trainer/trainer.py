@@ -65,8 +65,9 @@ class ModelTrainer:
         self.scale_factor = math.prod(self.downscale_factors)
         self.model_name: str = cfg().model.name
 
-        from sres_tpu.parallel.mesh import initialize_distributed
+        from sres_tpu.parallel.mesh import initialize_distributed, sync_seed
         initialize_distributed()  # no-op outside a multi-host launch
+        seed = sync_seed(seed)    # hosts must agree (time-based default seed)
         self.mesh = get_mesh(dict(cfg().pipeline.get("mesh", {"data": -1})))
         self.ndata = self.mesh.shape["data"]
         self.batch_size: int = cfg().task.batch_size
@@ -262,7 +263,8 @@ class ModelTrainer:
     def train(self, nepochs: int, refresh_state: bool = False, **kwargs) -> Dict[str, float]:
         if nepochs == 0:
             return {}
-        seed = kwargs.get("seed", 4456)
+        from sres_tpu.parallel.mesh import sync_seed
+        seed = sync_seed(kwargs.get("seed", 4456))
         # NOTE: the reference's interp_loss kwarg gates the bicubic baseline;
         # here the baseline is always computed inside the compiled step (it is
         # <1% of step time — PERF.md — and feeds the headline loss%% metric),

@@ -41,8 +41,11 @@ over = {
     "pipeline.precision": "f32",
 }
 with ConfigContext("sres", model="edsr", **over) as cc:
-    trainer = ModelTrainer(cc, seed=0)
-    out = trainer.train(nepochs=3, refresh_state=True, seed=0)
+    # per-host DIVERGENT seeds (process 0 gets 0): sync_seed must broadcast
+    # process 0's value so every host builds the same batch sequence — the
+    # real hazard with the reference's time-based default seed
+    trainer = ModelTrainer(cc, seed=17 * pid)
+    out = trainer.train(nepochs=3, refresh_state=True, seed=17 * pid)
     if pid == 0:
         with open(f"{root}/loss_{nproc}.json", "w") as f:
             json.dump({"loss": float(out["prediction"]),
