@@ -29,6 +29,16 @@ A100_BASELINE_TILES_PER_SEC = 135.0        # training (fwd+bwd+Adam)
 A100_BASELINE_EVAL_TILES_PER_SEC = 405.0   # inference ≈ 1/3 the train cost
 
 
+def _hbm_peak_gb(jax) -> float:
+    """Peak device-memory usage in GB; -1 when the backend has no stats
+    (CPU, some remote backends)."""
+    try:
+        stats = jax.local_devices()[0].memory_stats() or {}
+        return round(stats.get("peak_bytes_in_use", -1e9) / 1e9, 3)
+    except Exception:
+        return -1.0
+
+
 def main() -> None:
     p = argparse.ArgumentParser()
     p.add_argument("--steps", type=int, default=30)
@@ -192,6 +202,7 @@ def main() -> None:
             "devices": ndev, "batch": batch, "steps": args.steps,
             "precision": precision, "lane_pack": args.lane_pack, "fused": args.fused, "scan": scan, "int8": args.int8, "step_ms": round(1000 * dt / args.steps, 2),
             "loss": loss_val, "mfu": round(mfu, 4),
+            "hbm_peak_gb": _hbm_peak_gb(jax),
             "baseline_estimate": "A100 eager fp32 reference loop ≈ 135 tiles/s (see docstring)",
         },
     }))
