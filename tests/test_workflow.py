@@ -121,3 +121,30 @@ def test_refresh_state_kwarg(tmp_path):
     c2.train(["edsr"], **over)
     recs = c2.trainer.results_accum.results
     assert recs and min(r.epoch for r in recs) < 1.0
+
+
+def test_synthetic_smoke_notebook_executes(tmp_path):
+    """notebooks/synthetic_smoke.ipynb runs headless end-to-end (train ->
+    inference -> panel plot) with shrunken parameters — proves the shipped
+    notebook's API surface against the real controller."""
+    import nbformat
+    from nbclient import NotebookClient
+
+    nb = nbformat.read("notebooks/synthetic_smoke.ipynb", as_version=4)
+    for cell in nb.cells:
+        if cell.cell_type != "code":
+            continue
+        cell.source = cell.source.replace(
+            'overrides = {"task.nepochs": 3, "model.nlayers": 4, "model.nfeatures": 32}',
+            'overrides = {"task.nepochs": 1, "model.nlayers": 1, '
+            '"model.nfeatures": 8, "model.lane_pack": 1, '
+            f'"platform.root": "{tmp_path}", "pipeline.device": "cpu", '
+            '"dataset.ntimes": 3, "dataset.nan_fraction": 0.0, '
+            '"dataset.image_size": {"y": 192, "x": 192}}')
+        cell.source = ("import matplotlib; matplotlib.use('Agg')\n"
+                       + cell.source)
+    NotebookClient(nb, timeout=500).execute()
+    # the losses cell must have produced a model/interpolated dict
+    out = [o for c in nb.cells if c.cell_type == "code" and "inference(" in c.source
+           for o in c.outputs if o.output_type == "execute_result"]
+    assert out and "model" in out[0]["data"]["text/plain"]
