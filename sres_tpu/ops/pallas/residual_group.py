@@ -391,7 +391,7 @@ def _bwd_call(skipg, sx, sa, sc, ss, w1, w2, wd, bd, wu, wg, mask,
             const((9, 128, 128)), const((m, 1)),
         ],
         out_specs=(
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
             per_b_rev((9, 128, 128)),
             per_b_rev((1, 128)),
             per_b_rev((9, 128, 128)),

@@ -39,7 +39,7 @@ def test_adam_step_parity_vs_reference_torch():
         loss = torch.sqrt(torch.mean((out - torch.tensor(ys[i])) ** 2))
         loss.backward()
         opt.step()
-        tlosses.append(float(loss))
+        tlosses.append(float(loss.detach()))
 
     # --- our side: imported weights, optax.adam, our masked-RMSE loss
     params = import_variables("rcan", tstate0, MCFG)["params"]
