@@ -127,3 +127,36 @@ def test_edsr_import_structure():
     from flax import serialization as ser
     restored = ser.from_state_dict(fresh, params)
     assert jax.tree.structure(restored) == jax.tree.structure(fresh)
+
+
+def test_torch_export_roundtrip():
+    """flax → torch export (util/torch_export.py) inverts the importer
+    exactly: fresh RCAN/EDSR params survive export → import bit-for-bit,
+    and exported key sets match the reference's module names."""
+    from sres_tpu.util.torch_export import export_edsr, export_rcan
+    from sres_tpu.util.torch_import import import_edsr, import_rcan
+
+    nf, nl, nb = 8, 2, 2
+    mcfg = dict(name="rcan", nfeatures=nf, nlayers=nl, nblocks=nb,
+                cbottleneck=2, kernel_size=3, downscale_factors=[2, 2])
+    model = build_model(mcfg, 1, 1, precision="f32")
+    params = model.init(jax.random.PRNGKey(3), jnp.zeros((1, 8, 8, 1)),
+                        train=False)["params"]
+    tw = export_rcan(params, nl, nb)
+    assert "head.0.weight" in tw and f"body.{nl}.bias" in tw \
+        and "tail.0.2.weight" in tw and "tail.1.bias" in tw
+    assert tw["head.0.weight"].shape == (nf, 1, 3, 3)
+    back = import_rcan(tw, nl, nb)
+    for a, b in zip(jax.tree.leaves(params),
+                    jax.tree.leaves(jax.tree.map(jnp.asarray, back))):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    mcfg = dict(name="edsr", nfeatures=nf, nlayers=nl, kernel_size=3,
+                downscale_factors=[2, 2])
+    model = build_model(mcfg, 1, 1, precision="f32")
+    params = model.init(jax.random.PRNGKey(4), jnp.zeros((1, 8, 8, 1)),
+                        train=False)["params"]
+    back = import_edsr(export_edsr(params, nl), nl)
+    for a, b in zip(jax.tree.leaves(params),
+                    jax.tree.leaves(jax.tree.map(jnp.asarray, back))):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
