@@ -43,7 +43,10 @@ def main() -> None:
     p = argparse.ArgumentParser()
     p.add_argument("--steps", type=int, default=30)
     p.add_argument("--warmup", type=int, default=5)
-    p.add_argument("--batch", type=int, default=72)
+    p.add_argument("--batch", type=int, default=0,
+                   help="0 = auto: 72 (bf16 saturation point) or 144 for "
+                        "--int8 training (the shorter int8 step amortizes "
+                        "better at larger batch: 1032 vs 760 t/s measured)")
     p.add_argument("--f32", action="store_true", help="f32 compute instead of bf16")
     p.add_argument("--nlayers", type=int, default=10)
     p.add_argument("--nblocks", type=int, default=20)
@@ -107,6 +110,8 @@ def main() -> None:
 
     mesh = get_mesh({"data": -1})
     ndev = mesh.shape["data"]
+    if args.batch == 0:
+        args.batch = 144 if (args.int8 and not (args.eval or args.serve)) else 72
     batch = ((args.batch + ndev - 1) // ndev) * ndev
     scan = 0 if (args.eval or args.serve) else args.scan
     if args.serve:
