@@ -178,6 +178,72 @@ def build_multi_train_step(model, optimizer: optax.GradientTransformation,
     return jax.jit(multi_step, donate_argnums=0)
 
 
+def build_accum_train_step(model, optimizer: optax.GradientTransformation,
+                           sc: StepConfig, mesh: Optional[Mesh] = None) -> Callable:
+    """Returns accum_step(state, hr_stack, weight_stack) -> (state, metrics).
+
+    Gradient accumulation: ONE optimizer update from K staged micro-batches
+    (hr_stack: (K, B, C, H, W)) at B-batch activation memory. The applied
+    gradient is the padding-weight-weighted mean of the per-micro-batch loss
+    gradients — i.e. the objective is the weighted mean of the K batch
+    RMSEs (for l2), not the RMSE of the pooled K·B batch; identical-data
+    micro-batches reproduce the single-batch step exactly and all-padding
+    micro-batches contribute nothing (both tested). BN batch_stats advance
+    per micro-batch.
+    Metrics come back (K,)-stacked like build_multi_train_step. New
+    capability vs the reference (single-GPU, per-batch updates); enables
+    large effective batches past one chip's HBM, e.g. bf16 at the int8
+    path's effective batch. Config: ``pipeline.grad_accum: K``."""
+
+    def accum_step(state: SRTrainState, hr_stack: jnp.ndarray,
+                   weight_stack: jnp.ndarray,
+                   temporal_stack: Optional[jnp.ndarray] = None):
+        zeros = jax.tree.map(jnp.zeros_like, state.params)
+        xs = (hr_stack, weight_stack) + (
+            (temporal_stack,) if sc.ntemporal > 0 else ())
+
+        def micro(carry, x):
+            gacc, swacc, bs = carry
+            hr, weight = x[0], x[1]
+            temporal = x[2] if sc.ntemporal > 0 else None
+            lr, target = prepare_inputs(hr, sc)
+
+            def loss_fn(params):
+                out, new_bs = _apply(model, params, bs, lr, True, sc, temporal)
+                sloss, mloss = _losses(out, target, weight, sc)
+                return mloss, (sloss, new_bs)
+
+            (mloss, (sloss, new_bs)), grads = \
+                jax.value_and_grad(loss_fn, has_aux=True)(state.params)
+            sw = jnp.sum(weight)
+            # all-padding micro-batch: d(sqrt)/dx at 0 is inf -> NaN grads;
+            # the where() hard-selects 0 so the batch is inert
+            gacc = jax.tree.map(
+                lambda a, g: a + jnp.where(sw > 0, sw * g, 0.0), gacc, grads)
+            interp = upsample(lr, float(sc.scale), sc.up_mode)
+            interp_sloss, _ = _losses(interp, target, weight, sc)
+            metrics = dict(mloss=mloss, sloss=sloss, interp_sloss=interp_sloss)
+            return (gacc, swacc + sw, new_bs), metrics
+
+        (gacc, swacc, new_bs), metrics = jax.lax.scan(
+            micro, (zeros, jnp.zeros((), jnp.float32), state.batch_stats), xs)
+        grads = jax.tree.map(lambda a: a / jnp.maximum(swacc, 1e-12), gacc)
+        updates, new_opt = optimizer.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        new_state = state.replace(step=state.step + 1, params=new_params,
+                                  batch_stats=new_bs, opt_state=new_opt)
+        return new_state, metrics
+
+    if mesh is not None:
+        repl = replicated(mesh)
+        ssh = NamedSharding(mesh, P(None, "data"))
+        insh = (repl, ssh, ssh) + ((ssh,) if sc.ntemporal > 0 else ())
+        fn = accum_step if sc.ntemporal > 0 else (lambda s, h, w: accum_step(s, h, w))
+        return jax.jit(fn, donate_argnums=0,
+                       in_shardings=insh, out_shardings=(repl, repl))
+    return jax.jit(accum_step, donate_argnums=0)
+
+
 def build_eval_step(model, sc: StepConfig, mesh: Optional[Mesh] = None) -> Callable:
     """Returns eval_step(state, hr_nchw, weight) ->
     (metrics, (lr, out, target, interp)) with NCHW f32 outputs for the

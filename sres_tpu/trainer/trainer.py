@@ -108,9 +108,21 @@ class ModelTrainer:
         # dispatches each compile once (the donated carry's layouts differ
         # from the fresh state's).
         self.steps_per_dispatch = max(1, int(cfg().pipeline.get("steps_per_dispatch", 1)))
-        self._multi_step = (build_multi_train_step(
-            self.model, self.optimizer, self.step_config, self.mesh)
-            if self.steps_per_dispatch > 1 else None)
+        # K>1: ONE optimizer update per K staged micro-batches (exact
+        # big-effective-batch training at 1/K activation memory). Shares the
+        # staging machinery with steps_per_dispatch; mutually exclusive.
+        self.grad_accum = max(1, int(cfg().pipeline.get("grad_accum", 1)))
+        assert self.steps_per_dispatch == 1 or self.grad_accum == 1, \
+            "pipeline.steps_per_dispatch and pipeline.grad_accum are exclusive"
+        if self.grad_accum > 1:
+            from sres_tpu.trainer.step import build_accum_train_step
+            self.steps_per_dispatch = self.grad_accum
+            self._multi_step = build_accum_train_step(
+                self.model, self.optimizer, self.step_config, self.mesh)
+        else:
+            self._multi_step = (build_multi_train_step(
+                self.model, self.optimizer, self.step_config, self.mesh)
+                if self.steps_per_dispatch > 1 else None)
 
         self.checkpoint_manager = CheckpointManager()
         # batch-shuffle rng: seeded, NOT the global random module — shuffle

@@ -78,3 +78,43 @@ def test_trainer_steps_per_dispatch(tmp_path):
                          if r.tset == TSet.Train]
     assert len(losses[1]) == len(losses[2])
     np.testing.assert_allclose(losses[1], losses[2], rtol=2e-4)
+
+
+def test_grad_accum_invariants():
+    """build_accum_train_step: ONE update per K micro-batches. (a) K
+    identical micro-batches reproduce the single-batch step exactly;
+    (b) an all-padding micro-batch contributes nothing."""
+    from sres_tpu.trainer.step import build_accum_train_step
+    model, opt, state, sc = _setup()
+    mesh = get_mesh({"data": -1})
+    step = build_train_step(model, opt, sc, mesh)
+    accum = build_accum_train_step(model, opt, sc, mesh)
+
+    rng = np.random.default_rng(0)
+    ndev = len(jax.devices())
+    B = 2 * ndev
+    hr = rng.normal(size=(B, 1, 48, 48)).astype(np.float32)
+    w = np.ones((B,), np.float32)
+
+    # (a) identical micro-batches == single step
+    s1, m1 = step(jax.tree.map(jnp.copy, state), jnp.asarray(hr), jnp.asarray(w))
+    stack = jnp.asarray(np.stack([hr, hr, hr]))
+    wstack = jnp.asarray(np.stack([w, w, w]))
+    s2, m2 = accum(jax.tree.map(jnp.copy, state), stack, wstack)
+    assert m2["mloss"].shape == (3,)
+    np.testing.assert_allclose(float(m2["mloss"][0]), float(m1["mloss"]),
+                               rtol=1e-6)
+    for a, b in zip(jax.tree.leaves(s1.params), jax.tree.leaves(s2.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-5, atol=2e-6)
+
+    # (b) all-padding micro-batch is inert: [hr, junk@w=0] == [hr] alone
+    junk = rng.normal(size=(B, 1, 48, 48)).astype(np.float32)
+    s3, _ = accum(jax.tree.map(jnp.copy, state),
+                  jnp.asarray(np.stack([hr, junk])),
+                  jnp.asarray(np.stack([w, np.zeros_like(w)])))
+    s4, _ = accum(jax.tree.map(jnp.copy, state),
+                  jnp.asarray(np.stack([hr])), jnp.asarray(np.stack([w])))
+    for a, b in zip(jax.tree.leaves(s3.params), jax.tree.leaves(s4.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-6, atol=1e-7)
