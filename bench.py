@@ -193,7 +193,8 @@ def main() -> None:
     flops_per_tile = fwd_bwd * 83.4e9 * (args.nlayers / 10) * (args.nblocks / 20) \
         * (args.nfeatures / 64) ** 2
     peak = 394e12 if args.int8 else 197e12   # v5e int8 MXU peak is 2x bf16
-    mfu = per_chip * flops_per_tile / peak
+    # the FLOP model is the flagship RCAN's — meaningless for --model-yaml
+    mfu = -1.0 if args.model_yaml else per_chip * flops_per_tile / peak
     print(json.dumps({
         "metric": (f"{args.model_yaml or 'rcan-10-20-64'} x4 "
                    f"{'serve' if args.serve else 'eval' if args.eval else 'train'} "
