@@ -210,6 +210,13 @@ def main() -> None:
             "loss": loss_val, "mfu": round(mfu, 4),
             "hbm_peak_gb": _hbm_peak_gb(jax),
             "baseline_estimate": "A100 eager fp32 reference loop ≈ 135 tiles/s (see docstring)",
+            "opt_in_int8_measured": {
+                # separately measured on this chip (PERF.md, 2026-08-16/17);
+                # not re-run here: model.quantization=int8 (AQT trunk convs,
+                # serving-quality-neutral, training numerics differ)
+                "train_b144": 1031.6, "eval": 1050.5, "serve": 1120.2,
+                "reproduce": "python bench.py --int8 [--eval|--serve]",
+            },
         },
     }))
 
