@@ -52,6 +52,22 @@ def batch_sharding(mesh: Mesh, axis: str = "data") -> NamedSharding:
     return NamedSharding(mesh, P(axis))
 
 
+def image_sharding(mesh: Mesh, batch_dim: int = 0, h_dim: Optional[int] = 2,
+                   axis: str = "data") -> NamedSharding:
+    """Sharding for NCHW image batches: batch dim over ``data`` and — when
+    the mesh declares a ``spatial`` axis (pipeline.mesh: {data: N, spatial:
+    M}) — the H dim over ``spatial``. GSPMD then partitions every conv
+    spatially (halo exchanges placed by XLA), so one train/eval step scales
+    across BOTH more tiles and bigger tiles. With no spatial axis this
+    degenerates to plain batch sharding."""
+    ndim = max(batch_dim, h_dim if h_dim is not None else 0) + 2
+    spec = [None] * ndim
+    spec[batch_dim] = axis
+    if h_dim is not None and "spatial" in mesh.axis_names:
+        spec[h_dim] = "spatial"
+    return NamedSharding(mesh, P(*spec))
+
+
 def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
@@ -71,17 +87,21 @@ def host_batch_slice(nglobal: int) -> slice:
 
 
 def make_global_batch(batch: np.ndarray, mesh: Mesh, axis: str = "data",
-                      batch_dim: int = 0):
+                      batch_dim: int = 0, h_dim: Optional[int] = None):
     """Global (padded) host batch → a sharded jax.Array on the mesh's data
     axis. Single-process: a plain sharded device_put. Multi-host: each
     process transfers ONLY its slice of the batch
     (jax.make_array_from_process_local_data), so input bandwidth scales with
     hosts instead of every host pushing identical data (SURVEY §7 step 5).
     ``batch_dim``: which dim is the tile/batch dim — 1 for the (K, B, ...)
-    stacks of the scanned multi-step (steps_per_dispatch)."""
-    spec = [None] * (batch_dim + 1)
-    spec[batch_dim] = axis
-    sharding = NamedSharding(mesh, P(*spec))
+    stacks of the scanned multi-step (steps_per_dispatch). ``h_dim``: image
+    H dim to shard over a 2D mesh's ``spatial`` axis (image_sharding)."""
+    if h_dim is not None and "spatial" in mesh.axis_names:
+        sharding = image_sharding(mesh, batch_dim, h_dim, axis)
+    else:
+        spec = [None] * (batch_dim + 1)
+        spec[batch_dim] = axis
+        sharding = NamedSharding(mesh, P(*spec))
     if jax.process_count() == 1:
         return jax.device_put(batch, sharding)
     idx = [slice(None)] * batch.ndim

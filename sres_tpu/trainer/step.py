@@ -23,7 +23,7 @@ from flax import struct
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from sres_tpu.ops.resize import downsample, interp_mode, multiscale_targets, upsample
-from sres_tpu.parallel.mesh import batch_sharding, replicated
+from sres_tpu.parallel.mesh import batch_sharding, image_sharding, replicated
 from sres_tpu.trainer.losses import sr_loss
 
 
@@ -134,8 +134,11 @@ def build_train_step(model, optimizer: optax.GradientTransformation,
     """Returns train_step(state, hr_nchw, weight) -> (state, metrics)."""
     train_step = _train_step_core(model, optimizer, sc)
     if mesh is not None:
+        # hr: batch over 'data' + (2D mesh) H over 'spatial' — GSPMD
+        # spatially partitions every conv; weight stays per-tile
         repl, bsh = replicated(mesh), batch_sharding(mesh)
-        insh = (repl, bsh, bsh) + ((bsh,) if sc.ntemporal > 0 else ())
+        ish = image_sharding(mesh)
+        insh = (repl, ish, bsh) + ((bsh,) if sc.ntemporal > 0 else ())
         fn = train_step if sc.ntemporal > 0 else (lambda s, h, w: train_step(s, h, w))
         return jax.jit(fn, donate_argnums=0,
                        in_shardings=insh,
@@ -169,9 +172,10 @@ def build_multi_train_step(model, optimizer: optax.GradientTransformation,
         return jax.lax.scan(body, state, xs)
 
     if mesh is not None:
-        repl, bsh = replicated(mesh), batch_sharding(mesh)
+        repl = replicated(mesh)
         ssh = NamedSharding(mesh, P(None, "data"))
-        insh = (repl, ssh, ssh) + ((ssh,) if sc.ntemporal > 0 else ())
+        ish = image_sharding(mesh, batch_dim=1, h_dim=3)
+        insh = (repl, ish, ssh) + ((ssh,) if sc.ntemporal > 0 else ())
         fn = multi_step if sc.ntemporal > 0 else (lambda s, h, w: multi_step(s, h, w))
         return jax.jit(fn, donate_argnums=0,
                        in_shardings=insh, out_shardings=(repl, repl))
@@ -237,7 +241,8 @@ def build_accum_train_step(model, optimizer: optax.GradientTransformation,
     if mesh is not None:
         repl = replicated(mesh)
         ssh = NamedSharding(mesh, P(None, "data"))
-        insh = (repl, ssh, ssh) + ((ssh,) if sc.ntemporal > 0 else ())
+        ish = image_sharding(mesh, batch_dim=1, h_dim=3)
+        insh = (repl, ish, ssh) + ((ssh,) if sc.ntemporal > 0 else ())
         fn = accum_step if sc.ntemporal > 0 else (lambda s, h, w: accum_step(s, h, w))
         return jax.jit(fn, donate_argnums=0,
                        in_shardings=insh, out_shardings=(repl, repl))
@@ -264,11 +269,12 @@ def build_eval_step(model, sc: StepConfig, mesh: Optional[Mesh] = None) -> Calla
 
     if mesh is not None:
         repl, bsh = replicated(mesh), batch_sharding(mesh)
-        insh = (repl, bsh, bsh) + ((bsh,) if sc.ntemporal > 0 else ())
+        ish = image_sharding(mesh)
+        insh = (repl, ish, bsh) + ((bsh,) if sc.ntemporal > 0 else ())
         fn = eval_step if sc.ntemporal > 0 else (lambda s, h, w: eval_step(s, h, w))
         return jax.jit(fn,
                        in_shardings=insh,
-                       out_shardings=(repl, (bsh, bsh, bsh, bsh)))
+                       out_shardings=(repl, (ish, ish, ish, ish)))
     return jax.jit(eval_step)
 
 

@@ -163,9 +163,12 @@ class ModelTrainer:
         if jax.process_count() == 1:
             return arrays
         from sres_tpu.parallel.mesh import make_global_batch
+        # arrays[0] is the NCHW hr batch (or its (K,B,...) stack): also
+        # H-shard it when the mesh has a spatial axis
         return tuple(a if a is None else
-                     make_global_batch(np.asarray(a), self.mesh, batch_dim=batch_dim)
-                     for a in arrays)
+                     make_global_batch(np.asarray(a), self.mesh, batch_dim=batch_dim,
+                                       h_dim=(batch_dim + 2 if i == 0 else None))
+                     for i, a in enumerate(arrays))
 
     def _run_train_step(self, hr, weight, ctime):
         n = hr.shape[0]

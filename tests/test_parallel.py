@@ -194,3 +194,45 @@ def test_infer_region_sharded_matches_unsharded():
     assert tuple(got.sharding.spec)[:2] == (None, "spatial")
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=2e-5, atol=2e-5)
+
+
+def test_2d_mesh_dp_sp_train_step_matches():
+    """pipeline.mesh {data: 4, spatial: 2}: the SAME build_train_step /
+    build_eval_step shards the batch over 'data' AND each tile's H over
+    'spatial' (parallel/mesh.py:image_sharding); GSPMD inserts the conv halo
+    exchanges. Update + metrics match the single-device step."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+    from sres_tpu.models import build_model
+    from sres_tpu.parallel.mesh import get_mesh
+    from sres_tpu.trainer.step import (StepConfig, build_eval_step,
+                                       build_train_step, init_state)
+
+    mcfg = dict(name="rcan", nfeatures=16, nlayers=1, nblocks=2, cbottleneck=2,
+                kernel_size=3, downscale_factors=[2, 2], loss_fn="l2")
+    model = build_model(mcfg, 1, 1, precision="f32")
+    opt = optax.adam(1e-3)
+    state, has_bn = init_state(model, opt, jnp.zeros((1, 24, 24, 1), jnp.float32),
+                               seed=0)
+    sc = StepConfig(scale=4, downscale_factors=(2, 2), down_mode="bicubic",
+                    up_mode="bicubic", loss_fn="l2", data_downsample=1.0,
+                    target_idx=(0,), nchannels_in=1, has_bn=has_bn)
+    mesh2d = get_mesh({"data": 4, "spatial": 2})
+    step2d = build_train_step(model, opt, sc, mesh2d)
+    step1 = build_train_step(model, opt, sc, mesh=None)
+
+    rng = np.random.default_rng(0)
+    hr = jnp.asarray(rng.normal(size=(8, 1, 96, 96)).astype(np.float32))
+    w = jnp.ones((8,), jnp.float32)
+    s1, m1 = step1(jax.tree.map(jnp.copy, state), hr, w)
+    s2, m2 = step2d(jax.tree.map(jnp.copy, state), hr, w)
+    np.testing.assert_allclose(float(m2["mloss"]), float(m1["mloss"]), rtol=1e-5)
+    for a, b in zip(jax.tree.leaves(s1.params), jax.tree.leaves(s2.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-5, atol=2e-6)
+    # eval outputs keep the dp x sp sharding
+    ev = build_eval_step(model, sc, mesh2d)
+    metrics, outs = ev(s2, hr, w)
+    assert np.isfinite(float(metrics["mloss"]))
+    assert "spatial" in str(outs[1].sharding.spec)
