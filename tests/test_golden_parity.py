@@ -100,3 +100,37 @@ def test_forward_parity_vs_reference_torch(case):
         o = np.asarray(o).transpose(0, 3, 1, 2)
         np.testing.assert_allclose(o, r, rtol=tol, atol=tol,
                                    err_msg=f"{case} level {lvl}")
+
+
+@requires_reference
+@pytest.mark.parametrize("name", ["rcan", "edsr"])
+def test_export_loads_into_reference_torch(name):
+    """The export direction: OUR randomly-initialized flax weights, exported
+    via util/torch_export, load into the REFERENCE's torch module with
+    strict=True and its forward matches ours — a reference user can take
+    flax-trained production weights back."""
+    import torch
+    from flax import serialization as ser
+    from sres_tpu.util.torch_export import export_edsr, export_rcan
+
+    mcfg = dict(CASES[name])
+    model = build_model(mcfg, 1, 1, precision="f32")
+    rng = np.random.default_rng(11)
+    x = rng.normal(size=(2, 1, 12, 12)).astype(np.float32)
+    variables = model.init(jax.random.PRNGKey(5),
+                           jnp.asarray(x.transpose(0, 2, 3, 1)), train=False)
+    params = variables["params"]
+    tw = (export_rcan(params, mcfg["nlayers"], mcfg["nblocks"]) if name == "rcan"
+          else export_edsr(params, mcfg["nlayers"]))
+
+    tmodel = get_ref_model(name, mcfg, nchannels_in=1, nchannels_out=1)
+    # exact key coverage (FModule.load_state_dict overrides torch's and
+    # returns None, so check the key sets ourselves)
+    assert set(tw) == set(k for k, _ in tmodel.state_dict().items())
+    tmodel.load_state_dict(
+        {k: torch.from_numpy(np.ascontiguousarray(v)) for k, v in tw.items()})
+    with torch.no_grad():
+        ref = tmodel(torch.tensor(x)).numpy()
+    ours = np.asarray(model.apply(variables, jnp.asarray(x.transpose(0, 2, 3, 1)),
+                                  train=False)).transpose(0, 3, 1, 2)
+    np.testing.assert_allclose(ours, ref, rtol=2e-5, atol=2e-5)
