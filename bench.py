@@ -111,7 +111,9 @@ def main() -> None:
     mesh = get_mesh({"data": -1})
     ndev = mesh.shape["data"]
     if args.batch == 0:
-        args.batch = 144 if (args.int8 and not (args.eval or args.serve)) else 72
+        # int8's shorter step amortizes better at 2x batch in every mode:
+        # train 1032 vs 760, eval 1300 vs 1050, serve 1305 vs 1120 measured
+        args.batch = 144 if args.int8 else 72
     batch = ((args.batch + ndev - 1) // ndev) * ndev
     scan = 0 if (args.eval or args.serve) else args.scan
     if args.serve:
@@ -214,7 +216,7 @@ def main() -> None:
                 # separately measured on this chip (PERF.md, 2026-08-16/17);
                 # not re-run here: model.quantization=int8 (AQT trunk convs,
                 # serving-quality-neutral, training numerics differ)
-                "train_b144": 1031.6, "eval": 1050.5, "serve": 1120.2,
+                "train": 1031.6, "eval": 1300.0, "serve": 1304.7,  # batch 144
                 "reproduce": "python bench.py --int8 [--eval|--serve]",
             },
         },
