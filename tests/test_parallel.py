@@ -236,3 +236,26 @@ def test_2d_mesh_dp_sp_train_step_matches():
     metrics, outs = ev(s2, hr, w)
     assert np.isfinite(float(metrics["mloss"]))
     assert "spatial" in str(outs[1].sharding.spec)
+
+
+def test_2d_mesh_trainer_end_to_end(tmp_path):
+    """Full ModelTrainer run on pipeline.mesh {data: 4, spatial: 2}: the
+    staging/padding/input paths feed the 2D-sharded step end-to-end."""
+    from sres_tpu.trainer import ModelTrainer
+    ConfigContext.set_defaults(platform="local", task="synthetic-tiles-48",
+                               dataset="synthetic", pipeline="sres")
+    over = {
+        "platform.root": str(tmp_path),
+        "dataset.image_size": {"y": 144, "x": 144},
+        "dataset.ntimes": 4, "dataset.nan_fraction": 0.0,
+        "task.tile_size": {"x": 12, "y": 12}, "task.batch_size": 4,
+        "task.ttsplit": {"train": 0.75, "valid": 0.25, "test": 0.0},
+        "model.nfeatures": 8, "model.nlayers": 1,
+        "pipeline.precision": "f32",
+        "pipeline.mesh": {"data": 4, "spatial": 2},
+    }
+    with ConfigContext("sres", model="edsr", **over) as cc:
+        trainer = ModelTrainer(cc, seed=0)
+        assert dict(trainer.mesh.shape) == {"data": 4, "spatial": 2}
+        out = trainer.train(nepochs=3, refresh_state=True, seed=0)
+        assert np.isfinite(out["prediction"]) and out["prediction"] > 0
