@@ -721,6 +721,90 @@ class ModelTrainer:
             result[vname] = self.assemble_images(batches, ivar, ids, gs)
         return result
 
+    def infer_region_spatial(self, ctime: TimeType, **kwargs
+                             ) -> Dict[str, Dict[str, LArray]]:
+        """Whole-region SPMD inference: the ENTIRE region runs through the
+        network as one image with its H axis sharded over the mesh
+        (parallel/spatial.py:infer_region_sharded; GSPMD places the conv
+        halo exchanges) — no tiling at all, so there are no seams by
+        construction and activation memory scales down with devices. The
+        TPU-native alternative to host halo tiling (infer_region_seamless)
+        for regions that exceed one chip's HBM. Local norm schemes only
+        (stats are computed over the whole region)."""
+        from sres_tpu.data.norm import denorm as denorm_fn, normalize_batch
+        from sres_tpu.parallel.spatial import infer_region_sharded
+        from sres_tpu.ops.resize import downsample, upsample
+
+        ntype = cfg().task.norm
+        assert ntype in ("lnorm", "lscale"), \
+            f"spatial inference supports local norm schemes, not '{ntype}'"
+        if self.domain != batchDomain.Tiles:
+            raise NotImplementedError("spatial inference requires a tiles-domain task")
+        if kwargs.get("update_model", False):
+            meta = self.checkpoint_manager.load_checkpoint(self.state, TSet.Validation,
+                                                           update_model=True)
+            if meta and "state" in meta:
+                self.state = meta["state"]
+
+        region = self.dataset.load_region_data(ctime)           # (C, Y, X) raw
+        grid = self.dataset.tile_grid
+        ishape = dict(c=region.shape[0], y=region.shape[1], x=region.shape[2])
+        roi = grid.get_active_region(image_shape=ishape)
+        active = region.data[:, roi["y"][0]:roi["y"][1], roi["x"][0]:roi["x"][1]]
+
+        axis = "spatial" if "spatial" in self.mesh.axis_names else "data"
+        n = self.mesh.shape[axis]
+        # H must split evenly across shards AND stay divisible by the scale
+        # for the LR synthesis; pad with zeros (post-norm) and crop after
+        quantum = n * self.scale_factor
+        ypad = pad_to_multiple(active.shape[1], quantum) - active.shape[1]
+        sf = float(self.scale_factor)
+
+        # normalize_batch requires NaN-free input (its tile-path contract):
+        # fill the region's holes with the per-channel mean first, remember
+        # the mask, and restore the holes on the way out
+        raw = active[None].astype(np.float32)
+        nan_mask = ~np.isfinite(raw)
+        fill = np.nanmean(raw, axis=(2, 3), keepdims=True)
+        raw = np.where(nan_mask, fill, raw)
+        normed, stats = normalize_batch(raw, ntype, (0, 1))
+        hr = np.pad(normed, ((0, 0), (0, 0), (0, ypad), (0, 0)))
+        hr_nhwc = jnp.asarray(np.transpose(hr, (0, 2, 3, 1)))
+
+        lr = downsample(hr_nhwc, sf, self.step_config.down_mode)
+        out = infer_region_sharded(self.model, self._eval_variables(), lr,
+                                   self.mesh, axis=axis)
+        interp = upsample(lr, sf, self.step_config.up_mode)
+        to_nchw = lambda a: np.transpose(np.asarray(jax.device_get(a), np.float32),
+                                         (0, 3, 1, 2))
+        crop = lambda a, s: a[:, :, : a.shape[2] - ypad // s if ypad else None, :]
+        tidx = list(self.step_config.target_idx)
+        assert tidx == list(range(len(self.input_variables))), \
+            "spatial inference currently requires target_variables == input_variables"
+        panels = dict(
+            input=denorm_fn(crop(to_nchw(lr), self.scale_factor), stats),
+            target=denorm_fn(crop(np.asarray(hr), 1), stats),
+            model=denorm_fn(crop(to_nchw(out), 1), stats),
+            interpolated=denorm_fn(crop(to_nchw(interp), 1), stats),
+        )
+        # restore the region's NaN holes on the full-res panels
+        tgt_mask = nan_mask[:, tidx]
+        for key in ("target", "model", "interpolated"):
+            panels[key] = np.where(tgt_mask, np.nan, panels[key])
+        result: Dict[str, Dict[str, LArray]] = {}
+        for ivar, vname in enumerate(self.target_variables):
+            result[vname] = {
+                k: LArray(v[0, ivar if k != "input" else
+                            self.input_variables.index(vname)], ["y", "x"])
+                for k, v in panels.items()}
+        return result
+
+    def _eval_variables(self):
+        variables = {"params": self.state.params}
+        if self.step_config.has_bn and self.state.batch_stats:
+            variables["batch_stats"] = self.state.batch_stats
+        return variables
+
     # ------------------------------------------------------------------ export
     def to_zarr(self, **kwargs) -> str:
         """Export the region dataset to a zarr store

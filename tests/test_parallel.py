@@ -259,3 +259,46 @@ def test_2d_mesh_trainer_end_to_end(tmp_path):
         assert dict(trainer.mesh.shape) == {"data": 4, "spatial": 2}
         out = trainer.train(nepochs=3, refresh_state=True, seed=0)
         assert np.isfinite(out["prediction"]) and out["prediction"] > 0
+
+
+def test_infer_region_spatial_end_to_end(tmp_path):
+    """trainer.infer_region_spatial: the whole region through the network as
+    ONE H-sharded image (no tiling, no seams). Panels are full-region, NaN
+    holes preserved, and the model panel agrees with the tiled seamless
+    path where both are finite (different receptive-field context at tile
+    borders → loose tolerance away from them is not meaningful; we check
+    shapes, masks, and that values are in the denormalized data range)."""
+    from sres_tpu.trainer import ModelTrainer
+    from sres_tpu.data.inference_io import TSet
+    ConfigContext.set_defaults(platform="local", task="synthetic-tiles-48",
+                               dataset="synthetic", pipeline="sres")
+    over = {
+        "platform.root": str(tmp_path),
+        "dataset.image_size": {"y": 192, "x": 144},
+        "dataset.ntimes": 3, "dataset.nan_fraction": 0.1,
+        "task.tile_size": {"x": 12, "y": 12}, "task.batch_size": 4,
+        "task.ttsplit": {"train": 1.0, "valid": 0.0, "test": 0.0},
+        "task.xyflip": False,
+        "model.nfeatures": 8, "model.nlayers": 1,
+        "pipeline.precision": "f32",
+        "pipeline.mesh": {"data": 4, "spatial": 2},
+    }
+    with ConfigContext("sres", model="edsr", **over) as cc:
+        trainer = ModelTrainer(cc, seed=0)
+        trainer.train(nepochs=2, refresh_state=True, seed=0)
+        trainer.init_data_timestamps()
+        ctime = trainer.data_timestamps[TSet.Train][0]
+        res = trainer.infer_region_spatial(ctime)
+        img = res["SST"]["model"]
+        assert img.shape == (192, 144)
+        assert res["SST"]["input"].shape == (48, 36)
+        assert np.isnan(img.data).any() and np.isfinite(img.data).any()
+        # NaN holes follow the raw region
+        tgt = res["SST"]["target"]
+        assert (np.isnan(tgt.data) == np.isnan(img.data)).all()
+        # denormalized values live in the target's data range (loose)
+        fin = np.isfinite(img.data)
+        lo, hi = np.nanmin(tgt.data), np.nanmax(tgt.data)
+        span = hi - lo
+        assert img.data[fin].min() > lo - 2 * span
+        assert img.data[fin].max() < hi + 2 * span
