@@ -62,7 +62,16 @@ class WorkflowController:
     def inference(self, timestep: int, data_structure: ResultStructure, **kwargs
                   ) -> Tuple[Dict[str, Dict[str, LArray]], Dict[str, Dict[str, float]]]:
         varnames = self.trainer.target_variables
-        if data_structure == ResultStructure.Image:
+        region_mode = kwargs.pop("region_mode", "tiled")
+        if data_structure == ResultStructure.Image and region_mode != "tiled":
+            # TPU-native region modes beyond the reference's tiled assembly:
+            # 'seamless' (host halo tiling) / 'spatial' (whole-region SPMD)
+            ctime = self.trainer.get_dset_time_indices()[timestep]
+            fn = {"seamless": self.trainer.infer_region_seamless,
+                  "spatial": self.trainer.infer_region_spatial}[region_mode]
+            image_results = fn(ctime, update_model=True)
+            eval_results = {vn: {} for vn in varnames}
+        elif data_structure == ResultStructure.Image:
             image_results, eval_results = self.trainer.process_image(
                 TSet.Validation, timestep, interp_loss=True, update_model=True, **kwargs)
         elif data_structure == ResultStructure.Tiles:

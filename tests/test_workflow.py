@@ -148,3 +148,27 @@ def test_synthetic_smoke_notebook_executes(tmp_path):
     out = [o for c in nb.cells if c.cell_type == "code" and "inference(" in c.source
            for o in c.outputs if o.output_type == "execute_result"]
     assert out and "model" in out[0]["data"]["text/plain"]
+
+
+@pytest.mark.parametrize("mode", ["seamless", "spatial"])
+def test_inference_region_modes(tmp_path, mode):
+    """controller.inference(..., region_mode=) routes to the TPU-native
+    region paths (host halo tiling / whole-region SPMD)."""
+    ConfigContext.set_defaults(platform="local", task="synthetic-tiles-48",
+                               dataset="synthetic", pipeline="sres")
+    configuration = dict(task="synthetic-tiles-48", dataset="synthetic",
+                         pipeline="sres", platform="local")
+    over = {"platform.root": str(tmp_path), "pipeline.device": "cpu",
+            "dataset.image_size": {"y": 192, "x": 144},
+            "dataset.ntimes": 3, "dataset.nan_fraction": 0.0,
+            "task.tile_size": {"x": 12, "y": 12}, "task.batch_size": 4,
+            "task.nepochs": 2, "task.xyflip": False,
+            "model.nfeatures": 8, "model.nlayers": 1,
+            "pipeline.precision": "f32"}
+    controller = WorkflowController("sres", configuration, seed=0)
+    controller.train(["edsr"], **over)
+    controller.initialize("sres", "edsr", **configuration, **over)
+    images, _ = controller.inference(0, ResultStructure.Image,
+                                     region_mode=mode, save=False)
+    assert images["SST"]["model"].shape == (192, 144)
+    assert np.isfinite(images["SST"]["model"].data).all()
