@@ -29,11 +29,12 @@ _AQT_CONV = None
 
 def aqt_conv_fn():
     """Drop-in ``lax.conv_general_dilated`` that dynamically quantizes both
-    operands to int8 (per-tensor absmax) and runs the conv on the int8 MXU
-    path (v5e: 394 TOPS peak vs 197 bf16 — measured 1.38 vs 3.93 ms/conv
-    like-for-like, scripts/bench/micro_aqt.py). Opt-in via
-    ``model.quantization: int8``; changes numerics (~1.4%% relative error per
-    conv) so it is never a default."""
+    operands to int8 (absmax; weights per-output-channel, activations
+    per-sample — AQT's conv defaults) and runs on the int8 MXU path (v5e:
+    394 TOPS peak vs 197 bf16 — measured 1.38 vs 3.93 ms/conv like-for-like,
+    scripts/bench/micro_aqt.py). Opt-in via ``model.quantization: int8``;
+    changes numerics (~1.4% relative error per conv) so it is never a
+    default."""
     global _AQT_CONV
     if _AQT_CONV is None:
         from aqt.jax.v2 import config as aqt_config
