@@ -17,4 +17,7 @@ if __name__ == "__main__":
     for ts in range(2):
         controller.inference(ts, ResultStructure.Tiles)
     controller.inference(0, ResultStructure.Image)
+    # TPU-native region modes: host halo tiling / whole-region SPMD
+    controller.inference(0, ResultStructure.Image, region_mode="seamless", save=False)
+    controller.inference(0, ResultStructure.Image, region_mode="spatial", save=False)
     print("inference artifacts written")
