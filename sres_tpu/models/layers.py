@@ -288,10 +288,12 @@ class BasicBlock(nn.Module):
     batch_norm: bool = True
     act: Optional[Callable] = nn.relu
     dtype: Optional[Dtype] = None
+    quant: Optional[str] = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
-        y = Conv(self.features, self.kernel_size, use_bias=self.use_bias, dtype=self.dtype)(x)
+        y = Conv(self.features, self.kernel_size, use_bias=self.use_bias,
+                 dtype=self.dtype, quant=self.quant)(x)
         if self.batch_norm:
             y = BatchNorm(use_running_average=not train, dtype=self.dtype)(y)
         if self.act is not None:

@@ -20,26 +20,29 @@ class VDSR(nn.Module):
     scale: int
     use_bias: bool = True
     batch_norm: bool = False
+    quantization: Optional[str] = None  # 'int8': AQT stack convs (opt-in)
     dtype: Optional[Any] = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
-        d = self.dtype
+        d, q = self.dtype, self.quantization
         x = nearest_up(x, self.scale)
         y = BasicBlock(self.nfeatures, self.kernel_size, self.use_bias,
-                       self.batch_norm, nn.relu, dtype=d)(x, train)
+                       self.batch_norm, nn.relu, dtype=d, quant=q)(x, train)
         for _ in range(self.nlayers - 2):
             y = BasicBlock(self.nfeatures, self.kernel_size, self.use_bias,
-                           self.batch_norm, nn.relu, dtype=d)(y, train)
+                           self.batch_norm, nn.relu, dtype=d, quant=q)(y, train)
         y = BasicBlock(self.nchannels_out, self.kernel_size, self.use_bias,
                        self.batch_norm, None, dtype=d)(y, train)
         return (x + y).astype(jnp.float32)
 
 
 def build(model_cfg, nchannels_in: int, nchannels_out: int, dtype=None, temporal_features=None):
-    p = resolve_parms(model_cfg, {}, nchannels_in=nchannels_in, nchannels_out=nchannels_out)
+    p = resolve_parms(model_cfg, dict(quantization=None),
+                      nchannels_in=nchannels_in, nchannels_out=nchannels_out)
     return VDSR(
         nchannels_in=p["nchannels_in"], nchannels_out=p["nchannels_out"],
         nfeatures=p["nfeatures"], nlayers=p["nlayers"], kernel_size=p["kernel_size"],
-        scale=p["scale"], use_bias=p["bias"], batch_norm=p["batch_norm"], dtype=dtype,
+        scale=p["scale"], use_bias=p["bias"], batch_norm=p["batch_norm"],
+        quantization=p["quantization"], dtype=dtype,
     )

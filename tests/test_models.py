@@ -150,3 +150,25 @@ def test_int8_quantized_trunk():
     assert rel_pk < 0.05, rel_pk
     g = jax.grad(lambda v: jnp.sum(m_q.apply(v, x, train=False) ** 2))(v)
     assert all(bool(jnp.isfinite(l).all()) for l in jax.tree.leaves(g))
+
+
+def test_int8_quantized_vdsr():
+    """quantization: int8 also covers the VDSR conv stack (BasicBlock
+    threading); same param tree, quantization-tolerance forward, finite
+    grads."""
+    import jax
+    import jax.numpy as jnp
+    mcfg = dict(name="vdsr", nfeatures=16, nlayers=4, kernel_size=3,
+                downscale_factors=[2, 2])
+    m_fp = build_model(mcfg, 1, 1, precision="f32")
+    m_q = build_model({**mcfg, "quantization": "int8"}, 1, 1, precision="f32")
+    x = jax.random.normal(jax.random.PRNGKey(1), (2, 12, 12, 1), jnp.float32)
+    v = m_fp.init(jax.random.PRNGKey(0), x, train=False)
+    assert jax.tree.structure(v) == jax.tree.structure(
+        m_q.init(jax.random.PRNGKey(0), x, train=False))
+    y_fp = np.asarray(m_fp.apply(v, x, train=False))
+    y_q = np.asarray(m_q.apply(v, x, train=False))
+    rel = np.linalg.norm(y_q - y_fp) / np.linalg.norm(y_fp)
+    assert 0 < rel < 0.05, rel
+    g = jax.grad(lambda v: jnp.sum(m_q.apply(v, x, train=False) ** 2))(v)
+    assert all(bool(jnp.isfinite(l).all()) for l in jax.tree.leaves(g))
