@@ -184,3 +184,42 @@ def test_result_browsers_refresh_and_click(tmp_path):
         class Ev:
             button, xdata, ydata = 1, 3.0, 4.0
         ip.select_point(Ev())
+
+
+def test_profile_step_trace_parser(tmp_path):
+    """scripts/bench/profile_step.py's perfetto parser buckets device-op
+    wall time (validated against a synthetic trace with host + TPU
+    tracks — host events must be excluded)."""
+    import gzip
+    import importlib.util
+    import json
+    import os as _os
+
+    spec = importlib.util.spec_from_file_location(
+        "profile_step", _os.path.join(_os.path.dirname(__file__), "..",
+                                      "scripts", "bench", "profile_step.py"))
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+
+    events = [
+        {"ph": "M", "pid": 1, "name": "process_name", "args": {"name": "/host:CPU"}},
+        {"ph": "M", "pid": 2, "name": "process_name", "args": {"name": "/device:TPU:0"}},
+        {"ph": "M", "pid": 2, "tid": 7, "name": "thread_name", "args": {"name": "XLA Ops"}},
+        # host event: excluded
+        {"ph": "X", "pid": 1, "tid": 3, "name": "PjitFunction", "dur": 9999, "ts": 0},
+        # device events: bucketed
+        {"ph": "X", "pid": 2, "tid": 7, "name": "convolution.42", "dur": 3000, "ts": 0},
+        {"ph": "X", "pid": 2, "tid": 7, "name": "fusion.convert.7", "dur": 1000, "ts": 10},
+        {"ph": "X", "pid": 2, "tid": 7, "name": "copy.3", "dur": 500, "ts": 20},
+    ]
+    d = tmp_path / "plugins" / "profile" / "run"
+    d.mkdir(parents=True)
+    with gzip.open(d / "perfetto_trace.json.gz", "wt") as f:
+        json.dump({"traceEvents": events}, f)
+
+    totals, nops = mod.parse_perfetto(str(tmp_path))
+    assert nops == 3
+    assert abs(totals["convolutions (fwd+dx+dW)"] - 3.0) < 1e-9
+    assert abs(totals["convert+reduce fusions"] - 1.0) < 1e-9
+    assert abs(totals["copies"] - 0.5) < 1e-9
+    assert sum(totals.values()) < 5.0   # host 9999us excluded
