@@ -64,25 +64,27 @@ def parse_perfetto(tdir: str):
             tid_names[(e.get("pid"), e.get("tid"))] = e["args"].get("name", "")
         if e.get("ph") == "M" and e.get("name") == "process_name":
             pid_names[e.get("pid")] = e["args"].get("name", "")
-    device_keys = {k for k, v in tid_names.items()
-                   if any(s in v for s in ("XLA Ops", "Steps", "TensorFlow Ops"))} | \
-                  {k for k, v in tid_names.items()
-                   if any(s in pid_names.get(k[0], "") for s in ("TPU", "/device:", "Device"))}
+    # per-op device time lives ONLY on the 'XLA Ops' thread of the device
+    # process; 'XLA Modules'/'Steps' tracks are whole-span rows that would
+    # double-count everything
+    device_keys = {k for k, v in tid_names.items() if v == "XLA Ops"}
     totals = defaultdict(float)
+    sources = defaultdict(float)
     nops = 0
     for e in events:
         if e.get("ph") != "X" or "dur" not in e:
             continue
-        key = (e.get("pid"), e.get("tid"))
-        tname = tid_names.get(key, "")
-        pname = pid_names.get(e.get("pid"), "")
-        on_device = (key in device_keys or "XLA Ops" in tname or
-                     "TPU" in pname or "/device" in pname.lower())
-        if not on_device:
+        if (e.get("pid"), e.get("tid")) not in device_keys:
             continue
-        totals[bucket(e["name"])] += e["dur"] / 1e3  # us → ms
+        args = e.get("args", {})
+        # authoritative category from the XLA profiler when present
+        cat = args.get("hlo_category") or bucket(e["name"])
+        totals[cat] += e["dur"] / 1e3  # us → ms
+        src = args.get("source")
+        if src:
+            sources[src.split("/")[-1]] += e["dur"] / 1e3
         nops += 1
-    return totals, nops
+    return totals, nops, sources
 
 
 def main():
@@ -134,7 +136,7 @@ def main():
     loss = float(metrics["mloss"])                        # force execution
     jax.profiler.stop_trace()
 
-    totals, nops = parse_perfetto(tdir)
+    totals, nops, sources = parse_perfetto(tdir)
     total = sum(totals.values())
     mode = "int8" if args.int8 else ("f32" if args.cpu else "bf16")
     print(f"\n{args.steps} steps, batch {args.batch}, {mode}, "
@@ -143,6 +145,10 @@ def main():
           f"({total / args.steps:.1f} ms/step):")
     for name, ms in sorted(totals.items(), key=lambda kv: -kv[1]):
         print(f"  {ms / args.steps:8.2f} ms/step  {100 * ms / total:5.1f}%  {name}")
+    if sources:
+        print("top sources (jaxpr provenance):")
+        for src, ms in sorted(sources.items(), key=lambda kv: -kv[1])[:8]:
+            print(f"  {ms / args.steps:8.2f} ms/step  {src}")
     print(f"trace: {tdir}")
 
 

@@ -217,9 +217,27 @@ def test_profile_step_trace_parser(tmp_path):
     with gzip.open(d / "perfetto_trace.json.gz", "wt") as f:
         json.dump({"traceEvents": events}, f)
 
-    totals, nops = mod.parse_perfetto(str(tmp_path))
+    totals, nops, sources = mod.parse_perfetto(str(tmp_path))
     assert nops == 3
     assert abs(totals["convolutions (fwd+dx+dW)"] - 3.0) < 1e-9
     assert abs(totals["convert+reduce fusions"] - 1.0) < 1e-9
     assert abs(totals["copies"] - 0.5) < 1e-9
     assert sum(totals.values()) < 5.0   # host 9999us excluded
+    # hlo_category + source provenance take priority when present
+    import gzip, json
+    ev2 = [
+        {"ph": "M", "pid": 2, "name": "process_name",
+         "args": {"name": "/device:TPU:0"}},
+        {"ph": "M", "pid": 2, "tid": 7, "name": "thread_name",
+         "args": {"name": "XLA Ops"}},
+        {"ph": "X", "pid": 2, "tid": 7, "name": "fusion.1", "dur": 2000,
+         "ts": 0, "args": {"hlo_category": "convolution fusion",
+                           "source": "/a/b/resize.py:10"}},
+    ]
+    d2 = tmp_path / "two" / "plugins" / "profile" / "run"
+    d2.mkdir(parents=True)
+    with gzip.open(d2 / "perfetto_trace.json.gz", "wt") as f:
+        json.dump({"traceEvents": ev2}, f)
+    t2, n2, s2 = mod.parse_perfetto(str(tmp_path / "two"))
+    assert n2 == 1 and abs(t2["convolution fusion"] - 2.0) < 1e-9
+    assert abs(s2["resize.py:10"] - 2.0) < 1e-9
