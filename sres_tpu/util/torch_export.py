@@ -79,3 +79,13 @@ def save_torch_state(tw: Dict[str, np.ndarray], path: str) -> str:
     torch.save({k: torch.from_numpy(np.ascontiguousarray(v)) for k, v in tw.items()},
                path)
     return path
+
+
+def export_vdsr(params: Dict[str, Any], nlayers: int) -> Dict[str, np.ndarray]:
+    """flax VDSR params → reference vdsr/network.py state dict
+    (body.{i}.0 conv stack; batch_norm=False path). Inverse of
+    torch_import.import_vdsr."""
+    tw: Dict[str, np.ndarray] = {}
+    for i in range(nlayers):
+        _conv_out(tw, f"body.{i}.0", params[f"BasicBlock_{i}"]["Conv_0"])
+    return tw

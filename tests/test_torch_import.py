@@ -160,3 +160,20 @@ def test_torch_export_roundtrip():
     for a, b in zip(jax.tree.leaves(params),
                     jax.tree.leaves(jax.tree.map(jnp.asarray, back))):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_torch_export_vdsr_roundtrip():
+    from sres_tpu.util.torch_export import export_vdsr
+    from sres_tpu.util.torch_import import import_vdsr
+
+    nf, nl = 8, 4
+    mcfg = dict(name="vdsr", nfeatures=nf, nlayers=nl, kernel_size=3,
+                downscale_factors=[2, 2])
+    model = build_model(mcfg, 1, 1, precision="f32")
+    params = model.init(jax.random.PRNGKey(6), jnp.zeros((1, 8, 8, 1)),
+                        train=False)["params"]
+    tw = export_vdsr(params, nl)
+    assert f"body.{nl - 1}.0.weight" in tw and tw["body.0.0.weight"].shape == (nf, 1, 3, 3)
+    back = import_vdsr(tw, nl)["params"]
+    for a, b in zip(jax.tree.leaves(params), jax.tree.leaves(back)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
