@@ -14,15 +14,21 @@ from ref_zoo import get_ref_model, requires_reference
 from sres_tpu.models import build_model
 from sres_tpu.util.torch_import import import_variables
 
-MCFG = dict(name="rcan", nfeatures=8, nlayers=1, nblocks=2, cbottleneck=2,
-            kernel_size=3, downscale_factors=[2, 2])
+CFGS = {
+    "rcan": dict(name="rcan", nfeatures=8, nlayers=1, nblocks=2, cbottleneck=2,
+                 kernel_size=3, downscale_factors=[2, 2]),
+    "edsr": dict(name="edsr", nfeatures=8, nlayers=2, kernel_size=3,
+                 downscale_factors=[2, 2]),
+}
 LR, STEPS, B = 1e-3, 3, 4
 
 
 @requires_reference
-def test_adam_step_parity_vs_reference_torch():
+@pytest.mark.parametrize("arch", sorted(CFGS))
+def test_adam_step_parity_vs_reference_torch(arch):
     import torch
-    tmodel = get_ref_model("rcan", MCFG, 1, 1)
+    MCFG = CFGS[arch]
+    tmodel = get_ref_model(arch, MCFG, 1, 1)
     tmodel = tmodel.train()
     tstate0 = {k: v.detach().numpy().copy() for k, v in tmodel.state_dict().items()}
 
@@ -42,7 +48,7 @@ def test_adam_step_parity_vs_reference_torch():
         tlosses.append(float(loss.detach()))
 
     # --- our side: imported weights, optax.adam, our masked-RMSE loss
-    params = import_variables("rcan", tstate0, MCFG)["params"]
+    params = import_variables(arch, tstate0, MCFG)["params"]
     model = build_model(MCFG, 1, 1, precision="f32")
     from sres_tpu.trainer.losses import sr_loss
     optimizer = optax.adam(LR)
@@ -71,7 +77,7 @@ def test_adam_step_parity_vs_reference_torch():
 
     # parameter trajectories agree after STEPS updates
     tstate = {k: v.detach().numpy() for k, v in tmodel.state_dict().items()}
-    ours_final = import_variables("rcan", tstate, MCFG)["params"]
+    ours_final = import_variables(arch, tstate, MCFG)["params"]
     for (pa, a), (pb, b) in zip(
             sorted(jax.tree_util.tree_flatten_with_path(params)[0],
                    key=lambda kv: str(kv[0])),
