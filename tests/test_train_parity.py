@@ -19,6 +19,8 @@ CFGS = {
                  kernel_size=3, downscale_factors=[2, 2]),
     "edsr": dict(name="edsr", nfeatures=8, nlayers=2, kernel_size=3,
                  downscale_factors=[2, 2]),
+    "vdsr": dict(name="vdsr", nfeatures=8, nlayers=4, kernel_size=3,
+                 downscale_factors=[2, 2]),
 }
 LR, STEPS, B = 1e-3, 3, 4
 
