@@ -21,7 +21,14 @@ CFGS = {
                  downscale_factors=[2, 2]),
     "vdsr": dict(name="vdsr", nfeatures=8, nlayers=4, kernel_size=3,
                  downscale_factors=[2, 2]),
+    "dbpn": dict(name="dbpn", nfeatures=8, nprojectionfeatures=4, depth=2,
+                 kernel_size=3, downscale_factors=[2, 2]),
+    "latticenet": dict(name="latticenet", nfeatures=16, ndiff=4, kernel_size=3,
+                       downscale_factors=[2, 2]),
 }
+# srdn/esrt carry BatchNorm: batch-mode stats during training need the
+# mutable-batch-stats step (covered by forward golden parity + test_zoo
+# training); the plain-Adam harness here covers the BN-free archs
 LR, STEPS, B = 1e-3, 3, 4
 
 
