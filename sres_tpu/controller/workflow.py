@@ -63,6 +63,10 @@ class WorkflowController:
                   ) -> Tuple[Dict[str, Dict[str, LArray]], Dict[str, Dict[str, float]]]:
         varnames = self.trainer.target_variables
         region_mode = kwargs.pop("region_mode", "tiled")
+        if region_mode not in ("tiled", "seamless", "spatial"):
+            raise ValueError(
+                f"Unknown region_mode {region_mode!r}: expected one of "
+                "'tiled', 'seamless', 'spatial'")
         if data_structure == ResultStructure.Image and region_mode != "tiled":
             # TPU-native region modes beyond the reference's tiled assembly:
             # 'seamless' (host halo tiling) / 'spatial' (whole-region SPMD)

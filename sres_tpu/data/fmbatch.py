@@ -92,6 +92,11 @@ def merge_temporal_batch(slices: List[Dataset], constants: Dataset) -> Dataset:
     }
     merged_constants: Dataset = dict(constants)
     for vname, dvar in first.items():
+        # reference drops time-dim vars before promotion (source/batch.py:106
+        # sample = slices[0].drop_dims('time')): a 'time'-dim var without a
+        # 'tiles' dim is dropped, never promoted to a constant
+        if "time" in dvar.dims:
+            continue
         if vname in cvars and vname not in dynamics:
             merged_constants[vname] = dvar
         elif vname in constant_vars and "tiles" in dvar.dims:

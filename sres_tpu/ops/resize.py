@@ -5,7 +5,7 @@ downsampling of the HR tile and scores models against a bicubic-upsample
 baseline (reference: sres/base/util/array.py:72-93,
 sres/controller/dual_trainer.py:557-571). Matching
 ``torch.nn.functional.interpolate(mode='bicubic'|'bilinear'|'nearest',
-align_corners=False, antialias=False)`` bit-for-bit is therefore required for
+align_corners=False, antialias=False)`` to f32 tolerance is therefore required for
 PSNR/RMSE parity.
 
 TPU-native design: instead of gathers, each spatial axis is resampled by a

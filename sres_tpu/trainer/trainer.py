@@ -345,11 +345,25 @@ class ModelTrainer:
                                 self.state, metrics = self._run_multi_step(staged, ctime)
                                 metrics_list.append(metrics)
                                 staged = []
-                    # ragged tail (< K batches left): per-batch dispatches, so
-                    # the scanned program compiles for exactly one K
-                    for hr, weight in staged:
-                        self.state, metrics = self._run_train_step(hr, weight, ctime)
-                        metrics_list.append(metrics)
+                    if staged and self.grad_accum > 1:
+                        # ragged tail under gradient accumulation: pad to K with
+                        # zero-weight micro-batches (inert by construction in
+                        # build_accum_train_step) so the one-update-per-K
+                        # large-effective-batch semantics holds; per-batch
+                        # dispatch here would apply up to K-1 full-LR updates
+                        nreal = len(staged)
+                        hr0, w0 = staged[0]
+                        staged += [(np.zeros_like(hr0), np.zeros_like(w0))] * \
+                                  (self.steps_per_dispatch - nreal)
+                        self.state, metrics = self._run_multi_step(staged, ctime)
+                        metrics_list.append({k: v[:nreal] for k, v in metrics.items()})
+                    else:
+                        # ragged tail (< K batches left) in scanned-dispatch
+                        # mode: per-batch dispatches are semantically identical
+                        # there, so the scanned program compiles for exactly one K
+                        for hr, weight in staged:
+                            self.state, metrics = self._run_train_step(hr, weight, ctime)
+                            metrics_list.append(metrics)
                 m = self._metrics_to_host(metrics_list)
                 if len(m.get("sloss", ())) == 0:
                     continue

@@ -4,7 +4,7 @@ The reference saves ``{training_version}.{train|valid}.pt`` torch checkpoints
 (reference: sres/controller/checkpoints.py:20). This module converts their
 ``model_state_dict`` tensors into our flax parameter pytrees so RCAN/EDSR
 models trained by the reference can be served/eval'd here directly — the
-basis for bitwise PSNR/RMSE comparison on real SWOT data.
+basis for f32-tolerance PSNR/RMSE comparison on real SWOT data.
 
 Layout conversion: torch Conv2d weights are (Cout, Cin, kh, kw) → flax
 (kh, kw, Cin, Cout).

@@ -270,3 +270,19 @@ def test_fmbatch_date_window_merging(tmp_path):
             [Loader().load_dataset(datetime(2020, 1, 1))],
             {"sst": LArray(np.zeros((6, 6), np.float32), ["y", "x"])})
         assert "tiles" in clash["sst"].dims
+
+
+def test_fmbatch_time_dim_var_dropped(tmp_path):
+    """A variable with a 'time' dim but no 'tiles' dim is dropped, never
+    promoted to a constant (reference: source/batch.py:106 drops time-dim
+    vars before promotion; round-2 advisor finding)."""
+    from sres_tpu.data.fmbatch import merge_temporal_batch
+
+    sl = {
+        "sst": LArray(np.ones((2, 4, 4), np.float32), ["tiles", "y", "x"]),
+        "clim": LArray(np.ones((3, 4), np.float32), ["time", "y"]),
+    }
+    with synth_ctx(tmp_path):
+        merged = merge_temporal_batch([sl], {})
+    assert "clim" not in merged
+    assert merged["sst"].dims == ("tiles", "y", "x")

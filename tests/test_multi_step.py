@@ -118,3 +118,27 @@ def test_grad_accum_invariants():
     for a, b in zip(jax.tree.leaves(s3.params), jax.tree.leaves(s4.params)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=2e-6, atol=1e-7)
+
+
+def test_grad_accum_ragged_tail_one_update_per_k(tmp_path):
+    """A timeslice whose batch count is not a multiple of K must still apply
+    ONE optimizer update per ≤K micro-batches — the tail is padded with
+    zero-weight micro-batches, NOT dispatched as full-LR per-batch updates
+    (round-2 advisor finding). With K larger than the per-timeslice batch
+    count, every timeslice is one ragged tail: exactly one update each."""
+    from tests.test_trainer import synth_ctx
+    from sres_tpu.data.inference_io import TSet
+    from sres_tpu.trainer import ModelTrainer
+
+    # 12-tile grid, batch 4 → 3 batches/timeslice (minus NaN-dropped tiles);
+    # K=4 > 3 means the pre-fix code never reached the accum dispatch at all
+    with synth_ctx(tmp_path, **{"pipeline.grad_accum": 4,
+                                "model.nfeatures": 8}) as cc:
+        tr = ModelTrainer(cc, seed=0)
+        assert tr.grad_accum == 4
+        tr.train(nepochs=2, refresh_state=True, seed=0)   # quirk: runs 1 epoch
+        n_train_ts = len(tr.data_timestamps[TSet.Train])
+        assert int(tr.state.step) == n_train_ts, \
+            (int(tr.state.step), n_train_ts)
+        recs = [r for r in tr.results_accum.results if r.tset == TSet.Train]
+        assert recs and all(np.isfinite(r.loss) and r.loss > 0 for r in recs)

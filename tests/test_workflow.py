@@ -172,3 +172,16 @@ def test_inference_region_modes(tmp_path, mode):
                                      region_mode=mode, save=False)
     assert images["SST"]["model"].shape == (192, 144)
     assert np.isfinite(images["SST"]["model"].data).all()
+
+
+def test_inference_unknown_region_mode_raises(tmp_path):
+    """An unrecognized region_mode raises ValueError naming the valid modes
+    (round-2 advisor finding: was a bare KeyError)."""
+    configuration = dict(task="synthetic-tiles-48", dataset="synthetic",
+                         pipeline="sres", platform="local")
+    controller = WorkflowController("sres", configuration, seed=0)
+    class T:  # inference() reads only target_variables before validating
+        target_variables = ["SST"]
+    controller.trainer = T()
+    with pytest.raises(ValueError, match="tiled.*seamless.*spatial"):
+        controller.inference(0, ResultStructure.Image, region_mode="mosaic")
