@@ -102,35 +102,67 @@ def test_forward_parity_vs_reference_torch(case):
                                    err_msg=f"{case} level {lvl}")
 
 
-@requires_reference
-@pytest.mark.parametrize("name", ["rcan", "edsr"])
-def test_export_loads_into_reference_torch(name):
-    """The export direction: OUR randomly-initialized flax weights, exported
-    via util/torch_export, load into the REFERENCE's torch module with
-    strict=True and its forward matches ours — a reference user can take
-    flax-trained production weights back."""
-    import torch
-    from flax import serialization as ser
-    from sres_tpu.util.torch_export import export_edsr, export_rcan
+def _randomize_flax_bn_stats(variables, seed=3):
+    """Randomize our batch_stats so a wrong stats mapping would be caught on
+    the export side too (fresh BN stats are the trivial mean=0/var=1)."""
+    if "batch_stats" not in variables:
+        return variables
+    rng = np.random.default_rng(seed)
+    import jax
 
-    mcfg = dict(CASES[name])
+    def rnd(leaf, is_var):
+        a = (rng.random(leaf.shape) * 0.5 + 0.75 if is_var
+             else rng.normal(size=leaf.shape) * 0.1)
+        return jnp.asarray(a.astype(np.float32))
+
+    flat = jax.tree_util.tree_flatten_with_path(variables["batch_stats"])
+    new = jax.tree_util.tree_unflatten(
+        flat[1], [rnd(leaf, "var" in str(path[-1])) for path, leaf in flat[0]])
+    return {**variables, "batch_stats": new}
+
+
+@requires_reference
+@pytest.mark.parametrize("case", sorted(CASES))
+def test_export_loads_into_reference_torch(case):
+    """The export direction — ALL ten archs (round-2 verdict item #5): OUR
+    randomly-initialized flax weights (BN stats randomized), exported via
+    util/torch_export.export_variables, load into the REFERENCE's torch
+    module with strict=True and its forward matches ours — a reference user
+    can take flax-trained production weights back
+    (/root/reference/sres/model/manager.py:93-96 factory)."""
+    import torch
+    from sres_tpu.util.torch_export import export_variables
+
+    mcfg = dict(CASES[case])
+    name = mcfg["name"]
     model = build_model(mcfg, 1, 1, precision="f32")
     rng = np.random.default_rng(11)
     x = rng.normal(size=(2, 1, 12, 12)).astype(np.float32)
     variables = model.init(jax.random.PRNGKey(5),
                            jnp.asarray(x.transpose(0, 2, 3, 1)), train=False)
-    params = variables["params"]
-    tw = (export_rcan(params, mcfg["nlayers"], mcfg["nblocks"]) if name == "rcan"
-          else export_edsr(params, mcfg["nlayers"]))
+    variables = _randomize_flax_bn_stats(dict(variables))
+    tw = export_variables(name, variables, mcfg)
 
-    tmodel = get_ref_model(name, mcfg, nchannels_in=1, nchannels_out=1)
+    extra = {"temporal_features": None} if name == "unet" else {}
+    if name == "mscnn":
+        extra["unet_depth"] = mcfg["nlayers"]  # reference bug, see above
+    tmodel = get_ref_model(name, mcfg, nchannels_in=1, nchannels_out=1, **extra)
     # exact key coverage (FModule.load_state_dict overrides torch's and
     # returns None, so check the key sets ourselves)
     assert set(tw) == set(k for k, _ in tmodel.state_dict().items())
-    tmodel.load_state_dict(
-        {k: torch.from_numpy(np.ascontiguousarray(v)) for k, v in tw.items()})
+    torch.nn.Module.load_state_dict(
+        tmodel,
+        {k: torch.from_numpy(np.ascontiguousarray(v)) for k, v in tw.items()},
+        strict=True)
+    tmodel.eval()
     with torch.no_grad():
-        ref = tmodel(torch.tensor(x)).numpy()
-    ours = np.asarray(model.apply(variables, jnp.asarray(x.transpose(0, 2, 3, 1)),
-                                  train=False)).transpose(0, 3, 1, 2)
-    np.testing.assert_allclose(ours, ref, rtol=2e-5, atol=2e-5)
+        ref = tmodel(torch.tensor(x))
+    refs = [r.numpy() for r in ref] if isinstance(ref, (list, tuple)) else [ref.numpy()]
+    ours = model.apply(variables, jnp.asarray(x.transpose(0, 2, 3, 1)), train=False)
+    ours_list = list(ours) if isinstance(ours, (list, tuple)) else [ours]
+    assert len(ours_list) == len(refs)
+    tol = TOLS.get(name, 2e-5)
+    for lvl, (o, r) in enumerate(zip(ours_list, refs)):
+        o = np.asarray(o).transpose(0, 3, 1, 2)
+        np.testing.assert_allclose(o, r, rtol=tol, atol=tol,
+                                   err_msg=f"{case} export level {lvl}")
