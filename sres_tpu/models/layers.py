@@ -188,17 +188,64 @@ class Scale(nn.Module):
         return x * s.astype(x.dtype)
 
 
+class _TorchBNCore(nn.Module):
+    """Torch-exact BatchNorm core (replaces flax nn.BatchNorm so training
+    dynamics match torch BatchNorm2d bit-for-bit in f32):
+
+    - normalization uses the BIASED batch variance (same as flax), but the
+      running-var buffer update uses the UNBIASED variance ×n/(n-1) — flax's
+      nn.BatchNorm updates with the biased one, a silent eval-time drift vs
+      the reference (round-2 verdict item #4; torch _BatchNorm docs/impl)
+    - running = (1-m)·running + m·batch with torch's momentum m directly.
+
+    Param/stat names (scale/bias, mean/var) and the child name 'BatchNorm_0'
+    match flax nn.BatchNorm, so checkpoints and torch_import/export trees are
+    unchanged."""
+    use_running_average: bool
+    torch_momentum: float = 0.1
+    epsilon: float = 1e-5
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        feat = x.shape[-1]
+        scale = self.param("scale", nn.initializers.ones, (feat,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (feat,), jnp.float32)
+        ra_mean = self.variable("batch_stats", "mean",
+                                lambda s: jnp.zeros(s, jnp.float32), (feat,))
+        ra_var = self.variable("batch_stats", "var",
+                               lambda s: jnp.ones(s, jnp.float32), (feat,))
+        if self.use_running_average:
+            mean, var = ra_mean.value, ra_var.value
+        else:
+            xf = x.astype(jnp.float32)
+            axes = tuple(range(x.ndim - 1))
+            mean = jnp.mean(xf, axes)
+            var = jnp.mean(jnp.square(xf - mean), axes)
+            if not self.is_initializing():
+                m = self.torch_momentum
+                n = x.size // feat
+                bessel = n / max(n - 1, 1)
+                ra_mean.value = (1.0 - m) * ra_mean.value + m * mean
+                ra_var.value = (1.0 - m) * ra_var.value + m * var * bessel
+        y = (x.astype(jnp.float32) - mean) * jax.lax.rsqrt(var + self.epsilon)
+        y = y * scale + bias
+        return y.astype(self.dtype or x.dtype)
+
+
 class BatchNorm(nn.Module):
-    """BatchNorm with torch momentum semantics (torch m → flax momentum 1-m)."""
+    """BatchNorm with torch semantics (momentum AND the unbiased running-var
+    update — see _TorchBNCore)."""
     use_running_average: bool
     torch_momentum: float = 0.1
     dtype: Optional[Dtype] = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
-        return nn.BatchNorm(
+        return _TorchBNCore(
             use_running_average=self.use_running_average,
-            momentum=1.0 - self.torch_momentum, epsilon=1e-5, dtype=self.dtype,
+            torch_momentum=self.torch_momentum, dtype=self.dtype,
+            name="BatchNorm_0",
         )(x)
 
 

@@ -26,10 +26,25 @@ CFGS = {
     "latticenet": dict(name="latticenet", nfeatures=16, ndiff=4, kernel_size=3,
                        downscale_factors=[2, 2]),
 }
-# srdn/esrt carry BatchNorm: batch-mode stats during training need the
-# mutable-batch-stats step (covered by forward golden parity + test_zoo
-# training); the plain-Adam harness here covers the BN-free archs
 LR, STEPS, B = 1e-3, 3, 4
+
+# BN/stateful archs (srdn/unet/mscnn/lapsrn): the mutable-batch-stats harness
+# below additionally checks running-stat and eval-forward parity — torch
+# updates running_var with the UNBIASED batch variance, which
+# models/layers.py:_TorchBNCore reproduces (flax nn.BatchNorm does not;
+# round-2 verdict item #4). lapsrn/mscnn also exercise the multiscale
+# pyramid loss (reference dual_trainer.py:214-234).
+BN_CFGS = {
+    "srdn": dict(name="srdn", nfeatures={"hidden": 8, "upscale": 4}, nlayers=2,
+                 kernel_size={"features": 5, "hidden": 3, "output": 1},
+                 downscale_factors=[2, 2]),
+    "unet": dict(name="unet", nfeatures=8, nlayers=2, kernel_size=3,
+                 downscale_factors=[2, 2]),
+    "mscnn": dict(name="mscnn", nfeatures=8, nlayers=2, kernel_size=3,
+                  downscale_factors=[2, 2], ups_mode="bicubic"),
+    "lapsrn": dict(name="lapsrn", nfeatures=8, kernel_size=3,
+                   downscale_factors=[2, 2], ups_mode="bicubic"),
+}
 
 
 @requires_reference
@@ -95,3 +110,118 @@ def test_adam_step_parity_vs_reference_torch(arch):
         assert str(pa) == str(pb)
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=5e-4, atol=5e-6, err_msg=str(pa))
+
+
+def _torch_ref_loss(out, y):
+    """The reference's loss dispatcher for l2 (dual_trainer.py:205-234):
+    single tensor → RMSE; pyramid list → sum of per-level RMSEs against
+    bilinear-downsampled targets (the summed mloss is what backprops)."""
+    import torch
+    import torch.nn.functional as F
+
+    def rmse(a, b):
+        return torch.sqrt(torch.mean((a - b) ** 2))
+
+    if not isinstance(out, (list, tuple)):
+        return rmse(out, y), rmse(out, y)
+    targets = [y]
+    for _ in range(len(out) - 1):
+        targets.append(F.interpolate(targets[-1], scale_factor=0.5, mode="bilinear"))
+    targets.reverse()
+    mloss = sum(rmse(o, t) for o, t in zip(out, targets))
+    return rmse(out[-1], y), mloss
+
+
+@requires_reference
+@pytest.mark.parametrize("arch", sorted(BN_CFGS))
+def test_adam_step_parity_bn_archs(arch):
+    """Training-dynamics parity for the BN/stateful archs: N torch-Adam
+    train-mode steps == N of our mutable-batch-stats steps — losses, BN
+    running stats (unbiased-var update), and the post-training EVAL-mode
+    forward all match."""
+    import torch
+    MCFG = BN_CFGS[arch]
+    extra = {"temporal_features": None} if arch == "unet" else {}
+    if arch == "mscnn":
+        extra["unet_depth"] = MCFG["nlayers"]  # reference bug, see golden test
+    tmodel = get_ref_model(arch, MCFG, 1, 1, **extra).train()
+    tstate0 = {k: v.detach().numpy().copy() for k, v in tmodel.state_dict().items()}
+
+    rng = np.random.default_rng(0)
+    xs = rng.normal(size=(STEPS, B, 1, 12, 12)).astype(np.float32)
+    ys = rng.normal(size=(STEPS, B, 1, 48, 48)).astype(np.float32)
+    xe = rng.normal(size=(B, 1, 12, 12)).astype(np.float32)
+
+    # --- reference side (train mode: batch stats normalize, running update)
+    opt = torch.optim.Adam(tmodel.parameters(), lr=LR, weight_decay=0.0)
+    tlosses = []
+    for i in range(STEPS):
+        opt.zero_grad()
+        out = tmodel(torch.tensor(xs[i]))
+        _, mloss = _torch_ref_loss(out, torch.tensor(ys[i]))
+        mloss.backward()
+        opt.step()
+        tlosses.append(float(mloss.detach()))
+    tmodel.eval()
+    with torch.no_grad():
+        ref_eval = tmodel(torch.tensor(xe))
+    ref_eval = ref_eval[-1] if isinstance(ref_eval, (list, tuple)) else ref_eval
+
+    # --- our side: imported weights+stats, train=True mutable batch_stats
+    variables = import_variables(arch, tstate0, MCFG)
+    params, bstats = variables["params"], variables.get("batch_stats", {})
+    model = build_model(MCFG, 1, 1, precision="f32")
+    from sres_tpu.ops.resize import multiscale_targets
+    from sres_tpu.trainer.losses import sr_loss
+    optimizer = optax.adam(LR)
+    opt_state = optimizer.init(params)
+    weight = jnp.ones((B,), jnp.float32)
+
+    @jax.jit
+    def step(params, bstats, opt_state, x, y):
+        def loss_fn(p):
+            out, mut = model.apply({"params": p, "batch_stats": bstats}, x,
+                                   train=True, mutable=["batch_stats"])
+            if isinstance(out, (list, tuple)):
+                tgts = multiscale_targets(y, (2, 2), "bilinear")
+                sloss, mloss = sr_loss(list(out), tgts, weight, "l2")
+            else:
+                sloss, mloss = sr_loss(out, y, weight, "l2")
+            return mloss, mut["batch_stats"]
+        (loss, new_bs), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), new_bs, opt_state, loss
+
+    jlosses = []
+    for i in range(STEPS):
+        params, bstats, opt_state, loss = step(
+            params, bstats, opt_state,
+            jnp.asarray(xs[i].transpose(0, 2, 3, 1)),
+            jnp.asarray(ys[i].transpose(0, 2, 3, 1)))
+        jlosses.append(float(loss))
+    np.testing.assert_allclose(jlosses, tlosses, rtol=2e-5, atol=2e-6)
+
+    # running stats match torch's (unbiased running-var update). srdn needs
+    # looser tolerances: a single step matches to 1e-7 (probed), but its 5x5
+    # feature conv + PReLU + momentum-0.5 stats amplify f32 conv-order drift
+    # over 3 coupled Adam steps
+    srtol, satol = (5e-3, 3e-4) if arch == "srdn" else (5e-4, 1e-5)
+    tstate = {k: v.detach().numpy() for k, v in tmodel.state_dict().items()}
+    ref_final = import_variables(arch, tstate, MCFG)
+    for (pa, a), (pb, b) in zip(
+            sorted(jax.tree_util.tree_flatten_with_path(bstats)[0],
+                   key=lambda kv: str(kv[0])),
+            sorted(jax.tree_util.tree_flatten_with_path(
+                ref_final["batch_stats"])[0], key=lambda kv: str(kv[0]))):
+        assert str(pa) == str(pb)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=srtol, atol=satol, err_msg=f"stats {pa}")
+
+    # post-training EVAL forward (uses the running stats) matches
+    ours_eval = model.apply({"params": params, "batch_stats": bstats},
+                            jnp.asarray(xe.transpose(0, 2, 3, 1)), train=False)
+    ours_eval = ours_eval[-1] if isinstance(ours_eval, (list, tuple)) else ours_eval
+    ftol = 1e-3 if arch == "srdn" else 1e-4
+    np.testing.assert_allclose(
+        np.asarray(ours_eval).transpose(0, 3, 1, 2), ref_eval.numpy(),
+        rtol=ftol, atol=ftol)
