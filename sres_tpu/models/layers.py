@@ -44,6 +44,21 @@ def aqt_conv_fn():
     return _AQT_CONV
 
 
+def quant_conv_fn(quant: Optional[str]):
+    """conv_general_dilated replacement for a quantization mode: 'int8' =
+    AQT, 'int8_fused' = the lean custom-VJP path (ops/int8_conv.py — same
+    scale structure, minimal HLO so quant fuses into neighbors), None = no
+    override."""
+    if quant == "int8":
+        return aqt_conv_fn()
+    if quant == "int8_fused":
+        from sres_tpu.ops.int8_conv import int8_conv_fn
+        return int8_conv_fn()
+    if quant:
+        raise ValueError(f"Unknown quantization mode {quant!r}")
+    return None
+
+
 def torch_bias_init(key, shape, dtype, fan_in: int):
     bound = 1.0 / math.sqrt(fan_in) if fan_in > 0 else 0.0
     return jax.random.uniform(key, shape, dtype, -bound, bound)
@@ -100,8 +115,8 @@ class _PackedConvCore(nn.Module):
         pad = self.padding if self.padding is not None else [(k // 2, k // 2)] * 2
         dn = jax.lax.conv_dimension_numbers(x.shape, big.shape,
                                             ("NHWC", "HWIO", "NHWC"))
-        conv = aqt_conv_fn() if self.quant == "int8" else jax.lax.conv_general_dilated
-        pet = jnp.float32 if self.quant == "int8" else dt
+        conv = quant_conv_fn(self.quant) or jax.lax.conv_general_dilated
+        pet = jnp.float32 if self.quant else dt
         y = conv(
             x.astype(dt), big.astype(dt), (self.stride, self.stride), pad,
             dimension_numbers=dn, preferred_element_type=pet).astype(dt)
@@ -137,7 +152,7 @@ class Conv(nn.Module):
             use_bias=self.use_bias, dtype=self.dtype,
             kernel_init=torch_kernel_init,
             bias_init=lambda key, shape, dt: torch_bias_init(key, shape, dt, fan_in),
-            conv_general_dilated=(aqt_conv_fn() if self.quant == "int8" else None),
+            conv_general_dilated=quant_conv_fn(self.quant),
         )(x)
 
 

@@ -1,0 +1,147 @@
+"""Lean dynamically-quantized int8 convolution (custom VJP) — the fused
+replacement for the AQT trunk path.
+
+PERF.md's hlo_category profile attributes ~46 ms/step (34%) of the int8
+train step to AQT's quantization machinery: absmax calibration 11.7 ms,
+integer rounding 10.2 ms, data formatting 20.1 ms. AQT builds those from a
+general dot-quantization framework (tiled calibration contexts, dtype
+abstraction layers); this module instead emits the minimal HLO — one absmax
+reduce and one fused round/clip/convert per operand, then an int8 conv with
+int32 accumulation — for the forward AND both backward contractions, so XLA
+can producer/consumer-fuse every elementwise piece into neighboring work.
+
+Scale structure (matches the AQT conv defaults' numerics envelope,
+~1.4% relative error per conv):
+  forward: activations per-sample, weights per-output-channel
+  dx:      cotangent per-sample, spatially-flipped weights per-input-channel
+  dw:      per-tensor on both operands (per-sample scales cannot factor out
+           of the batch contraction)
+Quantization is a straight-through estimator: identity for gradients.
+
+Scope: stride-1 NHWC/HWIO convs with symmetric padding — the RCAN trunk's
+3×3 and CA 1×1 shapes (reference: sres/model/rcan/network.py:50-80). The
+``int8_conv_fn`` wrapper is signature-compatible with
+``lax.conv_general_dilated`` (the hook models/layers.py:Conv consumes) and
+falls back to full precision for any unsupported call.
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+Pad = Tuple[Tuple[int, int], Tuple[int, int]]
+
+
+def _q8(t: jnp.ndarray, axes: Optional[Tuple[int, ...]]):
+    """absmax-quantize to int8; returns (q, scale) with t ≈ q·scale."""
+    amax = jnp.max(jnp.abs(t), axis=axes, keepdims=True)
+    scale = jnp.maximum(amax, 1e-30) * (1.0 / 127.0)
+    q = jnp.clip(jnp.round(t * (1.0 / scale)), -127.0, 127.0).astype(jnp.int8)
+    return q, scale
+
+
+def _conv_i8(x: jnp.ndarray, w: jnp.ndarray, pad: Pad) -> jnp.ndarray:
+    dn = lax.conv_dimension_numbers(x.shape, w.shape, ("NHWC", "HWIO", "NHWC"))
+    return lax.conv_general_dilated(
+        x, w, (1, 1), pad, dimension_numbers=dn,
+        preferred_element_type=jnp.int32)
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(2,))
+def int8_conv(x: jnp.ndarray, w: jnp.ndarray, pad: Pad) -> jnp.ndarray:
+    """y = conv(x, w) on the int8 MXU; x (B,H,W,I) f32, w (kh,kw,I,O) f32."""
+    xq, sx = _q8(x, (1, 2, 3))
+    wq, sw = _q8(w, (0, 1, 2))
+    y = _conv_i8(xq, wq, pad).astype(jnp.float32)
+    return y * (sx * sw)     # (B,1,1,1)·(1,1,1,O) broadcast
+
+
+def _fwd(x, w, pad):
+    return int8_conv(x, w, pad), (x, w)
+
+
+def _bwd(pad: Pad, res, g):
+    x, w = res
+    k_h, k_w = w.shape[0], w.shape[1]
+    g = g.astype(jnp.float32)
+
+    # dx = conv(g, rot180(w) with I/O swapped), int8. With forward padding
+    # (pl, pr) the transpose conv's padding is (k-1-pl, k-1-pr) per axis —
+    # for the trunk's odd-k 'same' convs that equals the forward padding.
+    wT = jnp.flip(w, (0, 1)).swapaxes(2, 3)            # (kh,kw,O,I)
+    padT = ((k_h - 1 - pad[0][0], k_h - 1 - pad[0][1]),
+            (k_w - 1 - pad[1][0], k_w - 1 - pad[1][1]))
+    gq, sg = _q8(g, (1, 2, 3))
+    wTq, swT = _q8(wT, (0, 1, 2))                      # per-INPUT-channel
+    dx = _conv_i8(gq, wTq, padT).astype(jnp.float32) * (sg * swT)
+
+    # dw[kh,kw,i,o] = Σ_{b,y,x} x[b,y+kh-p,x+kw-p,i]·g[b,y,x,o]: a conv with
+    # the batch as the contracted feature dim — lhs (I,H,W,B), rhs (H,W,B,O),
+    # out (I,kh,kw,O). Per-tensor scales so they factor out of the b-sum.
+    xq, sxt = _q8(x, None)
+    gq2, sgt = _q8(g, None)
+    xt = xq.transpose(3, 1, 2, 0)
+    gt = gq2.transpose(1, 2, 0, 3)
+    dwc = _conv_i8(xt, gt, pad).astype(jnp.float32)
+    dw = dwc.transpose(1, 2, 0, 3) * (sxt * sgt)
+    return dx.astype(x.dtype), dw.astype(w.dtype)
+
+
+int8_conv.defvjp(_fwd, _bwd)
+
+
+def _normalize_pad(padding, k_h: int, k_w: int) -> Optional[Pad]:
+    if isinstance(padding, str):
+        if padding.upper() == "SAME" and k_h % 2 == 1 and k_w % 2 == 1:
+            return ((k_h // 2,) * 2, (k_w // 2,) * 2)
+        if padding.upper() == "VALID":
+            return ((0, 0), (0, 0))
+        return None
+    pad = tuple((int(lo), int(hi)) for lo, hi in padding)
+    return pad if len(pad) == 2 else None
+
+
+def int8_conv_fn():
+    """Drop-in ``lax.conv_general_dilated`` running supported convs through
+    the fused int8 path (hook: models/layers.py:Conv via
+    ``model.quantization: int8_fused``); unsupported shapes fall back to the
+    full-precision conv unchanged."""
+
+    def conv(lhs, rhs, window_strides, padding, lhs_dilation=None,
+             rhs_dilation=None, dimension_numbers=None,
+             feature_group_count=1, batch_group_count=1, precision=None,
+             preferred_element_type=None):
+        def fallback():
+            return lax.conv_general_dilated(
+                lhs, rhs, window_strides, padding, lhs_dilation, rhs_dilation,
+                dimension_numbers, feature_group_count, batch_group_count,
+                precision, preferred_element_type)
+
+        if (tuple(window_strides) != (1, 1) or feature_group_count != 1
+                or batch_group_count != 1):
+            return fallback()
+        if lhs_dilation is not None and tuple(lhs_dilation) != (1, 1):
+            return fallback()
+        if rhs_dilation is not None and tuple(rhs_dilation) != (1, 1):
+            return fallback()
+        want = lax.conv_dimension_numbers(lhs.shape, rhs.shape,
+                                          ("NHWC", "HWIO", "NHWC"))
+        if dimension_numbers is not None:
+            got = (dimension_numbers if not isinstance(dimension_numbers, tuple)
+                   else lax.conv_dimension_numbers(lhs.shape, rhs.shape,
+                                                   dimension_numbers))
+            if got != want:
+                return fallback()
+        pad = _normalize_pad(padding, rhs.shape[0], rhs.shape[1])
+        if pad is None:
+            return fallback()
+        out = int8_conv(lhs.astype(jnp.float32), rhs.astype(jnp.float32), pad)
+        if preferred_element_type is not None:
+            out = out.astype(preferred_element_type)
+        return out
+
+    return conv

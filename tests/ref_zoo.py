@@ -67,18 +67,21 @@ requires_reference = pytest.mark.skipif(
 
 
 def get_ref_model(name: str, model_cfg: dict, nchannels_in: int = 1,
-                  nchannels_out: int = 1, seed: int = 0, **extra):
+                  nchannels_out: int = 1, seed: int = 0,
+                  single_thread: bool = True, **extra):
     """Instantiate ``sres.model.{name}.network.get_model`` from the reference
     tree on CPU with ``model_cfg`` standing in for cfg().model. Seeded: the
     weight draw must not depend on how many tests ran before (marginal f32
-    tolerances flipped with test order when init used the ambient RNG)."""
+    tolerances flipped with test order when init used the ambient RNG).
+    single_thread=True pins torch to one thread: oneDNN's multithreaded
+    reductions change summation order with thread/allocator state, which
+    made the parity tests' f32 drift vary across pytest invocations
+    (observed on esrt/mscnn). The baseline A/B benchmark passes False —
+    throughput there wants all cores."""
     import torch
     torch.manual_seed(seed)
-    # single-threaded torch: oneDNN's multithreaded reductions change
-    # summation order with thread/allocator state, which makes the parity
-    # tests' f32 drift vary across pytest invocations (observed on esrt/
-    # mscnn); the parity models are tiny, determinism matters more
-    torch.set_num_threads(1)
+    if single_thread:
+        torch.set_num_threads(1)
     _install_stubs()
     if REF_ROOT not in sys.path:
         sys.path.insert(0, REF_ROOT)

@@ -1,0 +1,122 @@
+"""ops/int8_conv.py — the lean fused-quantization int8 conv (custom VJP).
+
+Exactness: integer-valued operands whose absmax is exactly 127 quantize
+losslessly (scale 1), so the quantized conv and BOTH backward contractions
+must match the f32 conv's jax.vjp EXACTLY — this pins every transpose/flip/
+padding choice in the hand-written backward. Approximation: on gaussian data
+the forward/backward stay within the documented ~1.4%-per-conv envelope.
+"""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from sres_tpu.ops.int8_conv import int8_conv, int8_conv_fn
+
+
+def _f32_conv(x, w, pad):
+    dn = lax.conv_dimension_numbers(x.shape, w.shape, ("NHWC", "HWIO", "NHWC"))
+    return lax.conv_general_dilated(x, w, (1, 1), pad, dimension_numbers=dn)
+
+
+def _int_data(rng, shape, chan_axis_full=None):
+    """Random int array in [-127,127] with |max| exactly 127 — per channel of
+    ``chan_axis_full`` axes if given, else per the leading axis (samples)."""
+    a = rng.integers(-100, 100, size=shape).astype(np.float32)
+    if chan_axis_full == "w":       # force per-I and per-O amax = 127
+        a[0, 0, :, 0] = 127.0
+        a[0, 0, 0, :] = 127.0
+    else:                            # per-sample amax = 127
+        a[:, 0, 0, 0] = 127.0
+    return a
+
+
+@pytest.mark.parametrize("k,cin,cout", [(3, 8, 8), (1, 8, 4)])
+def test_exact_on_lossless_integer_data(k, cin, cout):
+    rng = np.random.default_rng(0)
+    pad = ((k // 2,) * 2, (k // 2,) * 2)
+    x = jnp.asarray(_int_data(rng, (3, 6, 6, cin)))
+    w = jnp.asarray(_int_data(rng, (k, k, cin, cout), chan_axis_full="w"))
+    g = jnp.asarray(_int_data(rng, (3, 6, 6, cout)))
+
+    y, vjp = jax.vjp(lambda a, b: int8_conv(a, b, pad), x, w)
+    yr, vjpr = jax.vjp(lambda a, b: _f32_conv(a, b, pad), x, w)
+    np.testing.assert_array_equal(np.asarray(y), np.asarray(yr))
+    dx, dw = vjp(g)
+    dxr, dwr = vjpr(g)
+    np.testing.assert_array_equal(np.asarray(dx), np.asarray(dxr))
+    np.testing.assert_array_equal(np.asarray(dw), np.asarray(dwr))
+
+
+def test_approx_on_gaussian_data():
+    rng = np.random.default_rng(1)
+    pad = ((1, 1), (1, 1))
+    x = jnp.asarray(rng.normal(size=(4, 8, 8, 16)).astype(np.float32))
+    w = jnp.asarray((rng.normal(size=(3, 3, 16, 16)) * 0.1).astype(np.float32))
+    g = jnp.asarray(rng.normal(size=(4, 8, 8, 16)).astype(np.float32))
+
+    y, vjp = jax.vjp(lambda a, b: int8_conv(a, b, pad), x, w)
+    yr, vjpr = jax.vjp(lambda a, b: _f32_conv(a, b, pad), x, w)
+
+    def relerr(a, b):
+        a, b = np.asarray(a), np.asarray(b)
+        return np.linalg.norm(a - b) / np.linalg.norm(b)
+
+    assert relerr(y, yr) < 0.03
+    (dx, dw), (dxr, dwr) = vjp(g), vjpr(g)
+    assert relerr(dx, dxr) < 0.03
+    assert relerr(dw, dwr) < 0.03
+
+
+def test_wrapper_fallback_and_dispatch():
+    """int8_conv_fn: supported shapes quantize; stride-2 / grouped calls fall
+    back to the exact full-precision conv."""
+    rng = np.random.default_rng(2)
+    conv = int8_conv_fn()
+    x = jnp.asarray(rng.normal(size=(2, 8, 8, 8)).astype(np.float32))
+    w = jnp.asarray(rng.normal(size=(3, 3, 8, 8)).astype(np.float32))
+    dn = lax.conv_dimension_numbers(x.shape, w.shape, ("NHWC", "HWIO", "NHWC"))
+
+    # stride 2 → identical to lax (fallback)
+    got = conv(x, w, (2, 2), ((1, 1), (1, 1)), dimension_numbers=dn)
+    want = lax.conv_general_dilated(x, w, (2, 2), ((1, 1), (1, 1)),
+                                    dimension_numbers=dn)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+    # stride 1 → quantized (differs from f32 but within envelope)
+    got = conv(x, w, (1, 1), ((1, 1), (1, 1)), dimension_numbers=dn)
+    want = lax.conv_general_dilated(x, w, (1, 1), ((1, 1), (1, 1)),
+                                    dimension_numbers=dn)
+    d = np.linalg.norm(np.asarray(got) - np.asarray(want))
+    assert 0 < d / np.linalg.norm(np.asarray(want)) < 0.03
+
+
+def test_fused_matches_aqt_envelope_in_model():
+    """model.quantization=int8_fused trains: a tiny RCAN step runs, loss is
+    finite and close to the AQT int8 step's loss (same scale structure)."""
+    import optax
+    from sres_tpu.models import build_model
+    from sres_tpu.trainer.step import StepConfig, build_train_step, init_state
+
+    losses = {}
+    for mode in ("int8", "int8_fused"):
+        mcfg = dict(name="rcan", nfeatures=8, nlayers=1, nblocks=2,
+                    cbottleneck=2, kernel_size=3, downscale_factors=[2, 2],
+                    quantization=mode)
+        model = build_model(mcfg, 1, 1, precision="f32")
+        opt = optax.adam(1e-3)
+        state, has_bn = init_state(model, opt,
+                                   jnp.zeros((1, 12, 12, 1), jnp.float32), seed=0)
+        sc = StepConfig(scale=4, downscale_factors=(2, 2), down_mode="bicubic",
+                        up_mode="bicubic", loss_fn="l2", data_downsample=1.0,
+                        target_idx=(0,), nchannels_in=1, has_bn=has_bn)
+        step = build_train_step(model, opt, sc, mesh=None)
+        rng = np.random.default_rng(3)
+        hr = jnp.asarray(rng.normal(size=(4, 1, 48, 48)).astype(np.float32))
+        w = jnp.ones((4,), jnp.float32)
+        state, m = step(state, hr, w)
+        losses[mode] = float(m["mloss"])
+        assert np.isfinite(losses[mode])
+    assert abs(losses["int8_fused"] - losses["int8"]) / losses["int8"] < 0.02
