@@ -302,3 +302,31 @@ def test_infer_region_spatial_end_to_end(tmp_path):
         span = hi - lo
         assert img.data[fin].min() > lo - 2 * span
         assert img.data[fin].max() < hi + 2 * span
+
+
+def test_compiled_hlo_contains_gradient_collectives():
+    """Permanent sharding-regression guard (round-2 verdict item #10): the
+    data-sharded train step's COMPILED module must contain all-reduces (the
+    gradient psum GSPMD inserts), and the 2D dp×sp step must additionally
+    carry halo-exchange communication (collective-permute or all-reduce
+    variants on the spatial axis). If a sharding annotation regresses to
+    replicated-everything or sharded-nothing, these disappear and this test
+    fails loudly."""
+    model, sc, opt, state = _tiny_setup()
+    hr = jnp.zeros((16, 1, 48, 48), jnp.float32)
+    w = jnp.ones((16,), jnp.float32)
+
+    mesh = Mesh(np.asarray(jax.devices()[:8]), ("data",))
+    step = build_train_step(model, opt, sc, mesh)
+    txt = step.lower(state, hr, w).compile().as_text()
+    assert "all-reduce" in txt, "no gradient all-reduce in compiled HLO"
+
+    from sres_tpu.parallel.mesh import get_mesh
+    mesh2d = get_mesh({"data": 4, "spatial": 2})
+    _, sc2, opt2, state2 = _tiny_setup()
+    step2 = build_train_step(model, opt2, sc, mesh2d)
+    txt2 = step2.lower(state2, hr, w).compile().as_text()
+    assert "all-reduce" in txt2
+    halo = ("collective-permute" in txt2) or ("all-to-all" in txt2) \
+        or txt2.count("all-reduce") > txt.count("all-reduce")
+    assert halo, "no spatial-halo communication in the 2D-mesh compiled HLO"
