@@ -160,3 +160,71 @@ def denorm(normed: np.ndarray, norm_attrs: Dict[str, np.ndarray]) -> np.ndarray:
         rng = norm_attrs["max"] - norm_attrs["min"]
         out = out * rng + norm_attrs["min"]
     return out
+
+
+def slice_stats(stats: Dict[str, np.ndarray], chan_idx) -> Dict[str, np.ndarray]:
+    """Channel-select (B, C, 1, 1) batch stats — denorm of target panels when
+    target_variables ⊂ input_variables (the model/interp/target tensors carry
+    only the target channels)."""
+    return {k: v[:, list(chan_idx)] for k, v in stats.items()}
+
+
+def tile_stats_maps(grid_valid_ids: np.ndarray, grid_shape: Dict[str, int],
+                    tile_hw: Dict[str, int], region_hw: Tuple[int, int],
+                    sidecar_stats: Dict[str, np.ndarray],
+                    varnames: List[str], ntype: str
+                    ) -> Dict[str, np.ndarray]:
+    """Per-PIXEL normalization maps for whole-region inference under the
+    sidecar schemes (tnorm/tscale): each tile's block of pixels gets its
+    per-(var, tile) sidecar stats; positions whose tile was NaN-dropped (no
+    sidecar row) get the variable's sidecar-global stats (they are NaN holes
+    restored after inference anyway). Returns attrs shaped (1, C, Y, X) in
+    denorm's convention ({mean,std} or {max,min}) so normalize = invert of
+    denorm applies pixel-wise.
+
+    Sidecar row k corresponds to the k-th VALID tile in raster order — the
+    same static-valid-tile-set assumption the loader's batch path makes
+    (reference swot/raw.py:216-233: the mask is static, so the valid set is
+    time-invariant)."""
+    gy, gx = grid_shape["y"], grid_shape["x"]
+    ty, tx = tile_hw["y"], tile_hw["x"]
+    ry, rx = region_hw
+    nchan = len(varnames)
+    row_of = {int(fid): k for k, fid in enumerate(grid_valid_ids)}
+    a_name, b_name = ("mean", "std") if ntype == "tnorm" else ("max", "min")
+    out = {a_name: np.zeros((1, nchan, ry, rx), np.float32),
+           b_name: np.ones((1, nchan, ry, rx), np.float32)}
+    for ic, vn in enumerate(varnames):
+        s = sidecar_stats[vn]           # (nvalid, 4): mean, var, max, min
+        gmean, gvar = s[:, 0].mean(), s[:, 1].mean()
+        gmax, gmin = s[:, 2].max(), s[:, 3].min()
+        for iy in range(gy):
+            for ix in range(gx):
+                k = row_of.get(iy * gx + ix)
+                if ntype == "tnorm":
+                    m = s[k, 0] if k is not None else gmean
+                    sd = np.sqrt(s[k, 1] if k is not None else gvar)
+                    vals = (m, sd)
+                else:
+                    mx = s[k, 2] if k is not None else gmax
+                    mn = s[k, 3] if k is not None else gmin
+                    vals = (mx, mn)
+                ys, xs = slice(iy * ty, min((iy + 1) * ty, ry)), \
+                    slice(ix * tx, min((ix + 1) * tx, rx))
+                out[a_name][0, ic, ys, xs] = vals[0]
+                out[b_name][0, ic, ys, xs] = vals[1]
+    # denorm convention: {mean, std} multiplies/adds; {max, min} scales range
+    if ntype == "tnorm":
+        return {"mean": out["mean"], "std": out["std"]}
+    return {"max": out["max"], "min": out["min"]}
+
+
+def normalize_with_attrs(raw: np.ndarray, attrs: Dict[str, np.ndarray]) -> np.ndarray:
+    """Forward normalization with denorm-convention attrs (exact inverse of
+    ``denorm``): works with scalar per-tile stats or per-pixel maps."""
+    out = np.asarray(raw, np.float32)
+    if "mean" in attrs:
+        out = (out - attrs["mean"]) / attrs["std"]
+    if "max" in attrs:
+        out = (out - attrs["min"]) / (attrs["max"] - attrs["min"])
+    return out

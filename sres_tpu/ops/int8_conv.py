@@ -10,12 +10,19 @@ reduce and one fused round/clip/convert per operand, then an int8 conv with
 int32 accumulation — for the forward AND both backward contractions, so XLA
 can producer/consumer-fuse every elementwise piece into neighboring work.
 
+Memory: the forward stashes the INT8 activations (+ per-sample scales) as
+the residual, not the f32 input — 4× smaller than an f32 stash (the naive
+version OOMed the full RCAN at batch 144: 410 convs × 85 MB f32 > 15.75 G
+HBM). The dw contraction reuses that int8 stash directly by absorbing each
+sample's activation scale into the cotangent before quantizing it:
+dw = Σ_b (xq_b·sx_b) ⋆ g_b = Σ_b xq_b ⋆ (g_b·sx_b).
+
 Scale structure (matches the AQT conv defaults' numerics envelope,
 ~1.4% relative error per conv):
   forward: activations per-sample, weights per-output-channel
   dx:      cotangent per-sample, spatially-flipped weights per-input-channel
-  dw:      per-tensor on both operands (per-sample scales cannot factor out
-           of the batch contraction)
+  dw:      int8 activation stash × per-tensor-quantized scale-absorbed
+           cotangent
 Quantization is a straight-through estimator: identity for gradients.
 
 Scope: stride-1 NHWC/HWIO convs with symmetric padding — the RCAN trunk's
@@ -37,10 +44,11 @@ Pad = Tuple[Tuple[int, int], Tuple[int, int]]
 
 
 def _q8(t: jnp.ndarray, axes: Optional[Tuple[int, ...]]):
-    """absmax-quantize to int8; returns (q, scale) with t ≈ q·scale."""
-    amax = jnp.max(jnp.abs(t), axis=axes, keepdims=True)
+    """absmax-quantize to int8 (f32 math); returns (q, scale), t ≈ q·scale."""
+    tf = t.astype(jnp.float32)
+    amax = jnp.max(jnp.abs(tf), axis=axes, keepdims=True)
     scale = jnp.maximum(amax, 1e-30) * (1.0 / 127.0)
-    q = jnp.clip(jnp.round(t * (1.0 / scale)), -127.0, 127.0).astype(jnp.int8)
+    q = jnp.clip(jnp.round(tf * (1.0 / scale)), -127.0, 127.0).astype(jnp.int8)
     return q, scale
 
 
@@ -61,11 +69,14 @@ def int8_conv(x: jnp.ndarray, w: jnp.ndarray, pad: Pad) -> jnp.ndarray:
 
 
 def _fwd(x, w, pad):
-    return int8_conv(x, w, pad), (x, w)
+    xq, sx = _q8(x, (1, 2, 3))
+    wq, sw = _q8(w, (0, 1, 2))
+    y = _conv_i8(xq, wq, pad).astype(jnp.float32) * (sx * sw)
+    return y, (xq, sx, w)    # int8 activation stash — see module docstring
 
 
 def _bwd(pad: Pad, res, g):
-    x, w = res
+    xq, sx, w = res
     k_h, k_w = w.shape[0], w.shape[1]
     g = g.astype(jnp.float32)
 
@@ -81,14 +92,14 @@ def _bwd(pad: Pad, res, g):
 
     # dw[kh,kw,i,o] = Σ_{b,y,x} x[b,y+kh-p,x+kw-p,i]·g[b,y,x,o]: a conv with
     # the batch as the contracted feature dim — lhs (I,H,W,B), rhs (H,W,B,O),
-    # out (I,kh,kw,O). Per-tensor scales so they factor out of the b-sum.
-    xq, sxt = _q8(x, None)
-    gq2, sgt = _q8(g, None)
-    xt = xq.transpose(3, 1, 2, 0)
-    gt = gq2.transpose(1, 2, 0, 3)
-    dwc = _conv_i8(xt, gt, pad).astype(jnp.float32)
-    dw = dwc.transpose(1, 2, 0, 3) * (sxt * sgt)
-    return dx.astype(x.dtype), dw.astype(w.dtype)
+    # out (I,kh,kw,O). The int8 stash substitutes for x once each sample's
+    # activation scale is absorbed into the cotangent (then quantized with a
+    # single per-tensor scale that factors out of the b-sum).
+    gp = g * sx
+    gpq, sgp = _q8(gp, None)
+    dwc = _conv_i8(xq.transpose(3, 1, 2, 0), gpq.transpose(1, 2, 0, 3), pad)
+    dw = dwc.astype(jnp.float32).transpose(1, 2, 0, 3) * sgp
+    return dx, dw.astype(w.dtype)
 
 
 int8_conv.defvjp(_fwd, _bwd)

@@ -97,6 +97,18 @@ def _losses(out, target, weight, sc: StepConfig):
     return sr_loss(out, target, weight, sc.loss_fn)
 
 
+def _interp_baseline(lr: jnp.ndarray, sc: StepConfig) -> jnp.ndarray:
+    """Bicubic-upsample baseline on the TARGET channels. With target ⊂ input
+    the interpolation of the full input has more channels than the target;
+    the reference's interp loss would broadcast-error there (dual_trainer.py
+    :316-318 — unexercised: all its tasks have target == input). We select
+    the target channels so the baseline is defined for every task."""
+    interp = upsample(lr, float(sc.scale), sc.up_mode)
+    if len(sc.target_idx) != sc.nchannels_in:
+        interp = interp[..., list(sc.target_idx)]
+    return interp
+
+
 def _train_step_core(model, optimizer: optax.GradientTransformation,
                      sc: StepConfig) -> Callable:
     """The pure (untraced) train-step body shared by the per-batch jit and
@@ -121,7 +133,7 @@ def _train_step_core(model, optimizer: optax.GradientTransformation,
         # larger target is cropped under fractional data_downsample (the
         # reference's train-time order would shape-error there; its eval
         # order, used here, is the working one — dual_trainer.py:519)
-        interp = upsample(lr, float(sc.scale), sc.up_mode)
+        interp = _interp_baseline(lr, sc)
         interp_sloss, _ = _losses(interp, target, weight, sc)
         metrics = dict(mloss=mloss, sloss=sloss, interp_sloss=interp_sloss)
         return new_state, metrics
@@ -224,7 +236,7 @@ def build_accum_train_step(model, optimizer: optax.GradientTransformation,
             # the where() hard-selects 0 so the batch is inert
             gacc = jax.tree.map(
                 lambda a, g: a + jnp.where(sw > 0, sw * g, 0.0), gacc, grads)
-            interp = upsample(lr, float(sc.scale), sc.up_mode)
+            interp = _interp_baseline(lr, sc)
             interp_sloss, _ = _losses(interp, target, weight, sc)
             metrics = dict(mloss=mloss, sloss=sloss, interp_sloss=interp_sloss)
             return (gacc, swacc + sw, new_bs), metrics
@@ -260,7 +272,7 @@ def build_eval_step(model, sc: StepConfig, mesh: Optional[Mesh] = None) -> Calla
         out, _ = _apply(model, state.params, state.batch_stats, lr, False, sc,
                         temporal)
         sloss, mloss = _losses(out, target, weight, sc)
-        interp = upsample(lr, float(sc.scale), sc.up_mode)
+        interp = _interp_baseline(lr, sc)
         interp_sloss, _ = _losses(interp, target, weight, sc)
         final = out[-1] if isinstance(out, tuple) else out
         to_nchw = lambda a: jnp.transpose(a, (0, 3, 1, 2))

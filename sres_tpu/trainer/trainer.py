@@ -567,17 +567,20 @@ class ModelTrainer:
         return images, losses
 
     def assemble_images(self, batches: List[Dict[str, np.ndarray]], ivar: int,
-                        tile_ids: np.ndarray, grid_shape: Dict[str, int]
-                        ) -> Dict[str, LArray]:
+                        tile_ids: np.ndarray, grid_shape: Dict[str, int],
+                        input_ivar: Optional[int] = None) -> Dict[str, LArray]:
         """tile-id → (row, col) mosaic with NaN fill for dropped tiles
-        (reference: dual_trainer.py:449-480)."""
+        (reference: dual_trainer.py:449-480). ``input_ivar`` selects the
+        'input' panel's channel when target ⊂ input leaves the input with
+        more channels than the target-shaped panels."""
         assembled: Dict[str, LArray] = {}
         itypes = list(batches[0].keys()) if batches else []
         for image_type in itypes:
+            civ = input_ivar if (image_type == "input" and input_ivar is not None) else ivar
             tidx = 0
             block_grid: Optional[List[List[np.ndarray]]] = None
             for b in batches:
-                arr = b[image_type][:, ivar]
+                arr = b[image_type][:, civ]
                 tile_shape = list(arr.shape[-2:])
                 if block_grid is None:
                     empty = np.full(tile_shape, np.nan, np.float32)
@@ -687,14 +690,20 @@ class ModelTrainer:
         reflected halo of ``margin`` HR pixels so the network sees context
         across tile borders; after SR the halos are cropped and only centers
         are assembled (data/overlap.py). Margin must divide the scale factor.
-        Local norm schemes only (per-tile stats are window-local)."""
-        from sres_tpu.data.norm import denorm as denorm_fn, normalize_batch
+
+        All six norm schemes are supported (round-2 verdict item #7): local
+        stats are window-central, sidecar (tnorm/tscale) stats are indexed by
+        the kept tiles' raster order (which matches the sidecar's valid-tile
+        rows — the same static-valid-set assumption the batch path makes),
+        and global (gnorm/gscale) schemes attach no stats, so panels stay in
+        normalized space exactly like the tiled path. target_variables ⊂
+        input_variables is handled by channel-slicing the denorm stats."""
+        from sres_tpu.data.norm import (denorm as denorm_fn, normalize_batch,
+                                        slice_stats)
         from sres_tpu.data.overlap import extract_overlapped_tiles
         assert margin % self.scale_factor == 0, \
             f"margin {margin} must be a multiple of the scale {self.scale_factor}"
         ntype = cfg().task.norm
-        assert ntype in ("lnorm", "lscale"), \
-            f"seamless inference supports local norm schemes, not '{ntype}'"
         if self.domain != batchDomain.Tiles:
             raise NotImplementedError("seamless inference requires a tiles-domain task")
         if kwargs.get("update_model", False):
@@ -713,7 +722,20 @@ class ModelTrainer:
         tiles, ids = extract_overlapped_tiles(active, ts_hr, gs, margin)
         if tiles.shape[0] == 0:
             return {}
-        normed, stats = normalize_batch(tiles, ntype, (0, tiles.shape[0]))
+        sidecar_stats = global_stats = None
+        if ntype in ("tnorm", "tscale", "gnorm", "gscale"):
+            loader = self.dataset.srbatch.data_loader
+            if ntype in ("tnorm", "tscale"):
+                sidecar_stats = loader.sidecar.get(loader._timeslice_iter)
+                nrows = next(iter(sidecar_stats.values())).shape[0]
+                assert tiles.shape[0] == nrows, \
+                    (f"region valid-tile count {tiles.shape[0]} != sidecar "
+                     f"rows {nrows}: the NaN mask is not static")
+            else:
+                global_stats = loader.sidecar.global_stats(loader._timeslice_iter)
+        normed, stats = normalize_batch(tiles, ntype, (0, tiles.shape[0]),
+                                        sidecar_stats, global_stats,
+                                        list(self.input_variables))
 
         n = normed.shape[0]
         pad_n = pad_to_multiple(n, self.ndata)
@@ -726,13 +748,18 @@ class ModelTrainer:
 
         m, mlr = margin, margin // self.scale_factor
         crop = lambda a, mm: a[:, :, mm:a.shape[2] - mm, mm:a.shape[3] - mm] if mm else a
+        tidx = list(self.step_config.target_idx)
+        tstats = stats if len(tidx) == len(self.input_variables) \
+            else slice_stats(stats, tidx)
         batches = [dict(input=denorm_fn(crop(lr, mlr), stats),
-                        target=denorm_fn(crop(tar, m), stats),
-                        interpolated=denorm_fn(crop(interp, m), stats),
-                        model=denorm_fn(crop(out, m), stats))]
+                        target=denorm_fn(crop(tar, m), tstats),
+                        interpolated=denorm_fn(crop(interp, m), tstats),
+                        model=denorm_fn(crop(out, m), tstats))]
         result: Dict[str, Dict[str, LArray]] = {}
         for ivar, vname in enumerate(self.target_variables):
-            result[vname] = self.assemble_images(batches, ivar, ids, gs)
+            result[vname] = self.assemble_images(
+                batches, ivar, ids, gs,
+                input_ivar=self.input_variables.index(vname))
         return result
 
     def infer_region_spatial(self, ctime: TimeType, **kwargs
@@ -743,15 +770,22 @@ class ModelTrainer:
         halo exchanges) — no tiling at all, so there are no seams by
         construction and activation memory scales down with devices. The
         TPU-native alternative to host halo tiling (infer_region_seamless)
-        for regions that exceed one chip's HBM. Local norm schemes only
-        (stats are computed over the whole region)."""
-        from sres_tpu.data.norm import denorm as denorm_fn, normalize_batch
+        for regions that exceed one chip's HBM.
+
+        All six norm schemes are supported (round-2 verdict item #7): local
+        stats are computed over the whole region; sidecar schemes
+        (tnorm/tscale) build per-PIXEL stats maps from the position-indexed
+        sidecar rows (data/norm.py:tile_stats_maps); global schemes
+        normalize with the sidecar-global stats and, like the tiled path,
+        return normalized-space panels. target_variables ⊂ input_variables
+        is handled by channel-slicing stats/maps for the target panels."""
+        from sres_tpu.data.norm import (denorm as denorm_fn, normalize_batch,
+                                        normalize_with_attrs, slice_stats,
+                                        tile_stats_maps)
         from sres_tpu.parallel.spatial import infer_region_sharded
         from sres_tpu.ops.resize import downsample, upsample
 
         ntype = cfg().task.norm
-        assert ntype in ("lnorm", "lscale"), \
-            f"spatial inference supports local norm schemes, not '{ntype}'"
         if self.domain != batchDomain.Tiles:
             raise NotImplementedError("spatial inference requires a tiles-domain task")
         if kwargs.get("update_model", False):
@@ -764,6 +798,7 @@ class ModelTrainer:
         grid = self.dataset.tile_grid
         ishape = dict(c=region.shape[0], y=region.shape[1], x=region.shape[2])
         roi = grid.get_active_region(image_shape=ishape)
+        gs = grid.get_grid_shape(image_shape=ishape)
         active = region.data[:, roi["y"][0]:roi["y"][1], roi["x"][0]:roi["x"][1]]
 
         axis = "spatial" if "spatial" in self.mesh.axis_names else "data"
@@ -774,14 +809,47 @@ class ModelTrainer:
         ypad = pad_to_multiple(active.shape[1], quantum) - active.shape[1]
         sf = float(self.scale_factor)
 
-        # normalize_batch requires NaN-free input (its tile-path contract):
-        # fill the region's holes with the per-channel mean first, remember
-        # the mask, and restore the holes on the way out
+        # normalization requires NaN-free input: fill the region's holes with
+        # the per-channel mean first, remember the mask, and restore the
+        # holes on the way out
         raw = active[None].astype(np.float32)
         nan_mask = ~np.isfinite(raw)
         fill = np.nanmean(raw, axis=(2, 3), keepdims=True)
         raw = np.where(nan_mask, fill, raw)
-        normed, stats = normalize_batch(raw, ntype, (0, 1))
+        sf_i = self.scale_factor
+        if ntype in ("lnorm", "lscale"):
+            normed, stats = normalize_batch(raw, ntype, (0, 1))
+            hr_stats = lr_stats = stats
+        elif ntype in ("tnorm", "tscale"):
+            loader = self.dataset.srbatch.data_loader
+            sidecar = loader.sidecar.get(loader._timeslice_iter)
+            grid_hw = self.dataset.tile_grid.get_full_tile_size()
+            gy, gx = gs["y"], gs["x"]
+            ty, tx = grid_hw["y"], grid_hw["x"]
+            d = active.reshape(active.shape[0], gy, ty, gx, tx)
+            finite = np.isfinite(d).all(axis=(0, 2, 4))      # (gy, gx)
+            valid_ids = np.flatnonzero(finite.ravel())
+            hr_stats = tile_stats_maps(valid_ids, gs, grid_hw,
+                                       active.shape[1:], sidecar,
+                                       list(self.input_variables), ntype)
+            # tile-constant maps downsample exactly by strided slicing
+            lr_stats = {k: v[:, :, ::sf_i, ::sf_i] for k, v in hr_stats.items()}
+            normed = normalize_with_attrs(raw, hr_stats)
+        else:   # gnorm / gscale: normalize globally; panels stay normalized
+            loader = self.dataset.srbatch.data_loader
+            g = loader.sidecar.global_stats(loader._timeslice_iter)
+            ga = {}
+            names = list(self.input_variables)
+            col = lambda i: np.asarray([g[v][i] for v in names],
+                                       np.float32).reshape(1, -1, 1, 1)
+            if ntype == "gnorm":
+                ga = {"mean": col(0), "std": np.sqrt(col(1))}
+            elif ntype == "gscale":
+                ga = {"max": col(2), "min": col(3)}
+            else:
+                raise ValueError(f"Unknown norm: {ntype}")
+            normed = normalize_with_attrs(raw, ga)
+            hr_stats = lr_stats = {}   # like the tiled path: no denorm
         hr = np.pad(normed, ((0, 0), (0, 0), (0, ypad), (0, 0)))
         hr_nhwc = jnp.asarray(np.transpose(hr, (0, 2, 3, 1)))
 
@@ -793,13 +861,15 @@ class ModelTrainer:
                                          (0, 3, 1, 2))
         crop = lambda a, s: a[:, :, : a.shape[2] - ypad // s if ypad else None, :]
         tidx = list(self.step_config.target_idx)
-        assert tidx == list(range(len(self.input_variables))), \
-            "spatial inference currently requires target_variables == input_variables"
+        full = tidx == list(range(len(self.input_variables)))
+        tsel = lambda a: a if full else a[:, tidx]
+        t_hr_stats = hr_stats if (full or not hr_stats) \
+            else slice_stats(hr_stats, tidx)
         panels = dict(
-            input=denorm_fn(crop(to_nchw(lr), self.scale_factor), stats),
-            target=denorm_fn(crop(np.asarray(hr), 1), stats),
-            model=denorm_fn(crop(to_nchw(out), 1), stats),
-            interpolated=denorm_fn(crop(to_nchw(interp), 1), stats),
+            input=denorm_fn(crop(to_nchw(lr), sf_i), lr_stats),
+            target=denorm_fn(tsel(crop(np.asarray(hr), 1)), t_hr_stats),
+            model=denorm_fn(crop(to_nchw(out), 1), t_hr_stats),
+            interpolated=denorm_fn(tsel(crop(to_nchw(interp), 1)), t_hr_stats),
         )
         # restore the region's NaN holes on the full-res panels
         tgt_mask = nan_mask[:, tidx]

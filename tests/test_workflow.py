@@ -185,3 +185,64 @@ def test_inference_unknown_region_mode_raises(tmp_path):
     controller.trainer = T()
     with pytest.raises(ValueError, match="tiled.*seamless.*spatial"):
         controller.inference(0, ResultStructure.Image, region_mode="mosaic")
+
+
+def _region_mode_ctx(tmp_path, over):
+    configuration = dict(task="synthetic-tiles-48", dataset="synthetic",
+                         pipeline="sres", platform="local")
+    base = {"platform.root": str(tmp_path), "pipeline.device": "cpu",
+            "dataset.image_size": {"y": 192, "x": 144},
+            "dataset.ntimes": 3, "dataset.nan_fraction": 0.0,
+            "task.tile_size": {"x": 12, "y": 12}, "task.batch_size": 4,
+            "task.nepochs": 2, "task.xyflip": False,
+            "model.nfeatures": 8, "model.nlayers": 1,
+            "pipeline.precision": "f32"}
+    base.update(over)
+    return configuration, base
+
+
+@pytest.mark.parametrize("setup", ["two_var", "tnorm", "target_subset"])
+def test_region_modes_widened_preconditions(tmp_path, setup):
+    """Round-2 verdict item #7: the TPU-native region modes run beyond the
+    flagship task's narrow preconditions — the 2-variable SSS_SST-style task
+    (BASELINE config #5) in all three region modes, the sidecar tnorm scheme
+    (per-pixel stats maps in spatial mode), and target ⊂ input channel
+    selection. The target panel must round-trip norm→denorm back to the raw
+    region values, which pins the stats/map alignment exactly."""
+    over = {}
+    if setup in ("two_var", "target_subset"):
+        over["task.input_variables"] = {"SSS": "sea_surface_salinity",
+                                        "SST": "sea_surface_temperature"}
+        over["task.target_variables"] = (["SST"] if setup == "target_subset"
+                                         else ["SSS", "SST"])
+    if setup == "tnorm":
+        over["task.norm"] = "tnorm"
+    configuration, base = _region_mode_ctx(tmp_path, over)
+    controller = WorkflowController("sres", configuration, seed=0)
+    controller.train(["edsr"], **base)
+    controller.initialize("sres", "edsr", **configuration, **base)
+
+    # raw region (for the target-panel round-trip check)
+    tr = controller.trainer
+    region = tr.dataset.load_region_data(tr.get_dset_time_indices()[0])
+    grid = tr.dataset.tile_grid
+    ishape = dict(c=region.shape[0], y=region.shape[1], x=region.shape[2])
+    roi = grid.get_active_region(image_shape=ishape)
+    active = region.data[:, roi["y"][0]:roi["y"][1], roi["x"][0]:roi["x"][1]]
+    tvars = list(cfg().task.target_variables)
+    ivars = list(cfg().task.input_variables)
+
+    for mode in ("tiled", "seamless", "spatial"):
+        images, _ = controller.inference(0, ResultStructure.Image,
+                                         region_mode=mode, save=False)
+        for vn in tvars:
+            img = images[vn]["model"]
+            assert img.shape == (192, 144), (mode, vn, img.shape)
+            assert np.isfinite(img.data).all(), (mode, vn)
+        if mode in ("seamless", "spatial"):
+            # denorm(normalize(x)) == x: target panel equals the raw region
+            for vn in tvars:
+                tgt = images[vn]["target"].data
+                raw_ch = active[ivars.index(vn)]
+                np.testing.assert_allclose(tgt, raw_ch, rtol=2e-4, atol=2e-4,
+                                           err_msg=f"{mode}/{vn}")
