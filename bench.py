@@ -246,6 +246,13 @@ def main() -> None:
             # executable — available even where runtime stats are not
             "hbm_model_gb": hbm_model_gb,
             "baseline_estimate": "A100 eager fp32 reference loop ≈ 135 tiles/s (see docstring)",
+            "measured_cpu_ab": {
+                # scripts/bench/baseline_ab.py: reference torch eager loop vs
+                # our compiled step, same single-core CPU, f32 (PERF.md) —
+                # the FLOP-model denominator's measured sensitivity bracket
+                "ours_over_torch_flagship_b36": 0.79,
+                "reproduce": "python scripts/bench/baseline_ab.py",
+            },
             "opt_in_int8_measured": {
                 # separately measured on this chip (PERF.md, 2026-08-16/17);
                 # not re-run here: model.quantization=int8 (AQT trunk convs,
