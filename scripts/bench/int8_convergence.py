@@ -48,6 +48,11 @@ def train_arm(root: str, quant, nepochs: int, seed: int, nfeatures: int):
         "dataset.nan_fraction": 0.0,
         "task.tile_size": {"x": 12, "y": 12}, "task.batch_size": 4,
         "task.lr": 1e-3,
+        # decay to a converged plateau (constant lr keeps bouncing at 60
+        # epochs); same schedule in every arm
+        "task.scheduler": {"type": "multistep",
+                           "milestones": [nepochs // 2, 3 * nepochs // 4],
+                           "gamma": 0.2},
         "task.ttsplit": {"train": 0.75, "valid": 0.25, "test": 0.0},
         "model.nfeatures": nfeatures, "model.nlayers": 2, "model.nblocks": 2,
         "model.lane_pack": 1, "model.quantization": quant,
@@ -139,11 +144,16 @@ def main():
         out["arms"][arm]["final_val_delta_vs_f32"] = round(
             out["arms"][arm]["final_val"] - f32["final_val"], 5)
 
+    # serve arms evaluate the f32 run's BEST-VAL checkpoint — the f32
+    # control must go through the identical path (the last-epoch val above
+    # is not the best-val checkpoint's loss)
     out["serve"] = {}
+    f32_serve = serve_arm(roots["f32"], None, a.seed, a.nfeatures)
+    out["serve"]["f32"] = f32_serve
     for quant in ("int8", "int8_fused"):
         s = serve_arm(roots["f32"], quant, a.seed, a.nfeatures)
-        s["delta_vs_f32_eval"] = round(s["val"] - f32["final_val"], 5)
-        s["rel_delta"] = round(s["delta_vs_f32_eval"] / max(f32["final_val"], 1e-12), 4)
+        s["delta_vs_f32_serve"] = round(s["val"] - f32_serve["val"], 5)
+        s["rel_delta"] = round(s["delta_vs_f32_serve"] / max(f32_serve["val"], 1e-12), 4)
         out["serve"][quant] = s
 
     print(json.dumps(out))

@@ -33,6 +33,11 @@ class RCAN(nn.Module):
     lane_pack: int = 1        # tiles packed per image in the trunk (PERF.md)
     quantization: Optional[str] = None  # 'int8': AQT trunk convs (opt-in,
     # changes numerics; head/tail/upsampler/CA stay full precision)
+    remat_trunk: Optional[bool] = None  # checkpoint each residual group;
+    # default: on for quantization='int8_fused' (its custom-VJP convs pin an
+    # int8 activation stash per conv — 410×21 MB at batch 144 — which group
+    # remat frees between groups; recomputing a group's int8 forward is
+    # cheap). Explicit true/false overrides.
     dtype: Optional[Any] = None
 
     @nn.compact
@@ -52,15 +57,22 @@ class RCAN(nn.Module):
             x = jnp.concatenate([x, jnp.zeros((bpad,) + x.shape[1:], x.dtype)], 0)
         res = pack_tiles(x, pk) if pk > 1 else x
         skip = res
-        for _ in range(self.nlayers):
+        remat = (self.quantization == "int8_fused" if self.remat_trunk is None
+                 else bool(self.remat_trunk))
+        group_cls = nn.remat(ResidualGroup) if remat else ResidualGroup
+        for i in range(self.nlayers):
             if self.fused and pk == 2:
                 from sres_tpu.models.fused import FusedResidualGroup
                 res = FusedResidualGroup(self.nfeatures, self.cbottleneck,
                                          self.nblocks, dtype=d)(res)
             else:
-                res = ResidualGroup(self.nfeatures, self.kernel_size,
-                                    self.cbottleneck, self.nblocks, dtype=d,
-                                    pack=pk, quant=self.quantization)(res)
+                # explicit name: nn.remat's auto-name is
+                # 'CheckpointResidualGroup_i', which would break checkpoint
+                # and torch-interop param trees
+                res = group_cls(self.nfeatures, self.kernel_size,
+                                self.cbottleneck, self.nblocks, dtype=d,
+                                pack=pk, quant=self.quantization,
+                                name=f"ResidualGroup_{i}")(res)
         res = Conv(self.nfeatures, self.kernel_size, use_bias=self.use_bias,
                    dtype=d, pack=pk, quant=self.quantization)(res)
         res = res + skip
@@ -83,7 +95,7 @@ class RCAN(nn.Module):
 def build(model_cfg, nchannels_in: int, nchannels_out: int, dtype=None, temporal_features=None):
     p = resolve_parms(model_cfg, dict(cbottleneck=2, nblocks=20, fused=False,
                                       pervar_heads=False, lane_pack=1,
-                                      quantization=None),
+                                      quantization=None, remat_trunk=None),
                       nchannels_in=nchannels_in, nchannels_out=nchannels_out)
     return RCAN(
         nchannels_in=p["nchannels_in"], nchannels_out=p["nchannels_out"],
@@ -91,5 +103,6 @@ def build(model_cfg, nchannels_in: int, nchannels_out: int, dtype=None, temporal
         cbottleneck=p["cbottleneck"], kernel_size=p["kernel_size"],
         scale=p["scale"], use_bias=p["bias"], fused=bool(p["fused"]),
         pervar_heads=bool(p["pervar_heads"]), lane_pack=int(p["lane_pack"]),
-        quantization=p["quantization"], dtype=dtype,
+        quantization=p["quantization"], remat_trunk=p["remat_trunk"],
+        dtype=dtype,
     )

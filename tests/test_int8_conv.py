@@ -120,3 +120,33 @@ def test_fused_matches_aqt_envelope_in_model():
         losses[mode] = float(m["mloss"])
         assert np.isfinite(losses[mode])
     assert abs(losses["int8_fused"] - losses["int8"]) / losses["int8"] < 0.02
+
+
+def test_remat_trunk_identical_tree_and_math():
+    """quantization=int8_fused defaults to per-group jax.checkpoint (the
+    custom-VJP convs pin int8 activation stashes; group remat frees them
+    between groups — the unrematted b144 run OOM-thrashed at 16 GB). The
+    remat must not change the param tree (names stay ResidualGroup_i), the
+    forward (bitwise), or the gradients (f32 fusion-order tolerance)."""
+    import jax
+    import numpy as np
+    from sres_tpu.models import build_model
+
+    base = dict(name="rcan", nfeatures=8, nlayers=2, nblocks=2, cbottleneck=2,
+                kernel_size=3, downscale_factors=[2, 2],
+                quantization="int8_fused")
+    m1 = build_model(base, 1, 1, precision="f32")
+    m2 = build_model({**base, "remat_trunk": False}, 1, 1, precision="f32")
+    x = jnp.asarray(np.random.default_rng(0).normal(size=(2, 12, 12, 1))
+                    .astype(np.float32))
+    v1 = m1.init(jax.random.PRNGKey(0), x, train=False)
+    v2 = m2.init(jax.random.PRNGKey(0), x, train=False)
+    assert (str(jax.tree_util.tree_structure(v1))
+            == str(jax.tree_util.tree_structure(v2)))
+    np.testing.assert_array_equal(np.asarray(m1.apply(v1, x, train=False)),
+                                  np.asarray(m2.apply(v2, x, train=False)))
+    g1 = jax.grad(lambda v: m1.apply(v, x, train=False).sum())(v1)
+    g2 = jax.grad(lambda v: m2.apply(v, x, train=False).sum())(v2)
+    for a, b in zip(jax.tree_util.tree_leaves(g1), jax.tree_util.tree_leaves(g2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-5)
