@@ -53,7 +53,8 @@ def _q8(t: jnp.ndarray, axes: Optional[Tuple[int, ...]]):
     return q, scale
 
 
-def _conv_i8(x: jnp.ndarray, w: jnp.ndarray, pad: Pad) -> jnp.ndarray:
+def _conv_i8(x: jnp.ndarray, w: jnp.ndarray, pad: Pad,
+             dn: Optional[lax.ConvDimensionNumbers] = None) -> jnp.ndarray:
     """Conv over int8-quantized operands. CRITICAL lowering detail: the
     operands are cast int8→bf16 and the conv runs with a float accumulator —
     XLA:TPU pattern-matches convert-from-int8 operands onto the int8 MXU
@@ -62,7 +63,9 @@ def _conv_i8(x: jnp.ndarray, w: jnp.ndarray, pad: Pad) -> jnp.ndarray:
     preferred_element_type takes a several-times-slower non-MXU path
     (measured: 520 ms/step vs AQT's 140 at batch 144). Int values ≤127 are
     exact in bf16; products accumulate in f32."""
-    dn = lax.conv_dimension_numbers(x.shape, w.shape, ("NHWC", "HWIO", "NHWC"))
+    if dn is None:
+        dn = lax.conv_dimension_numbers(x.shape, w.shape,
+                                        ("NHWC", "HWIO", "NHWC"))
     return lax.conv_general_dilated(
         x.astype(jnp.bfloat16), w.astype(jnp.bfloat16), (1, 1), pad,
         dimension_numbers=dn, preferred_element_type=jnp.float32)
@@ -84,30 +87,43 @@ def _fwd(x, w, pad):
     return y, (xq, sx, w)    # int8 activation stash — see module docstring
 
 
+# Backward convs use JAX's OWN transpose formulations (jax/_src/lax/
+# convolution.py _conv_general_dilated_transpose_{lhs,rhs}, specialized to
+# stride 1 / no dilation): dims are RELABELED via ConvDimensionNumbers, with
+# zero data movement, so XLA recognizes them as input-/weight-gradient convs
+# and compiles its optimized forms. The first version instead transposed the
+# operands and issued a generic 48×48-window conv for dw — which dominated
+# the whole step (520 ms vs AQT's 140 at batch 144 — the conv itself, not
+# quantization, was the cost).
+_DN_DX = lax.ConvDimensionNumbers((0, 3, 1, 2), (2, 3, 0, 1), (0, 3, 1, 2))
+_DN_DW = lax.ConvDimensionNumbers((3, 0, 1, 2), (3, 0, 1, 2), (2, 3, 0, 1))
+
+
 def _bwd(pad: Pad, res, g):
     xq, sx, w = res
     k_h, k_w = w.shape[0], w.shape[1]
     g = g.astype(jnp.float32)
 
-    # dx = conv(g, rot180(w) with I/O swapped), int8. With forward padding
-    # (pl, pr) the transpose conv's padding is (k-1-pl, k-1-pr) per axis —
-    # for the trunk's odd-k 'same' convs that equals the forward padding.
-    wT = jnp.flip(w, (0, 1)).swapaxes(2, 3)            # (kh,kw,O,I)
+    # dx = conv(g, spatially-reversed w) with I read as the output-feature
+    # dim (rhs spec (2,3,0,1)); weights quantized per-INPUT-channel so the
+    # scale factors out of the O-contraction.
+    gq, sg = _q8(g, (1, 2, 3))
+    wq2, sw2 = _q8(w, (0, 1, 3))                       # (1,1,I,1) scales
     padT = ((k_h - 1 - pad[0][0], k_h - 1 - pad[0][1]),
             (k_w - 1 - pad[1][0], k_w - 1 - pad[1][1]))
-    gq, sg = _q8(g, (1, 2, 3))
-    wTq, swT = _q8(wT, (0, 1, 2))                      # per-INPUT-channel
-    dx = _conv_i8(gq, wTq, padT) * (sg * swT)
+    dx = _conv_i8(gq, jnp.flip(wq2, (0, 1)), padT, _DN_DX) \
+        * (sg * sw2.reshape(1, 1, 1, -1))
 
-    # dw[kh,kw,i,o] = Σ_{b,y,x} x[b,y+kh-p,x+kw-p,i]·g[b,y,x,o]: a conv with
-    # the batch as the contracted feature dim — lhs (I,H,W,B), rhs (H,W,B,O),
-    # out (I,kh,kw,O). The int8 stash substitutes for x once each sample's
-    # activation scale is absorbed into the cotangent (then quantized with a
-    # single per-tensor scale that factors out of the b-sum).
+    # dw = conv(x, g·sx) with the batch as the contracted dim (lhs spec
+    # (3,0,1,2): C is "batch") → output directly (kh,kw,I,O). The int8 stash
+    # substitutes for x once each sample's activation scale is absorbed into
+    # the cotangent (then per-tensor-quantized so the scale factors out of
+    # the b-sum).
     gp = g * sx
     gpq, sgp = _q8(gp, None)
-    dwc = _conv_i8(xq.transpose(3, 1, 2, 0), gpq.transpose(1, 2, 0, 3), pad)
-    dw = dwc.transpose(1, 2, 0, 3) * sgp
+    pad_dw = ((pad[0][0], k_h - 1 - pad[0][0]),
+              (pad[1][0], k_w - 1 - pad[1][0]))
+    dw = _conv_i8(xq, gpq, pad_dw, _DN_DW) * sgp
     return dx, dw.astype(w.dtype)
 
 
