@@ -36,7 +36,7 @@ class FusedResidualGroup(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
-        from sres_tpu.ops.pallas.residual_group import (
+        from sres_tpu.ops.pallas.attic.residual_group import (
             fused_residual_group, pad_to_kernel_layout, unpad_from_kernel_layout)
         c, nb = self.features, self.nblocks
         cr = c // self.reduction

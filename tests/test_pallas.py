@@ -1,5 +1,5 @@
 """Pallas model-level smoke: the fused RCAN (lane-packed residual-group
-kernel, ops/pallas/residual_group.py) builds, runs, and produces the right
+kernel, ops/pallas/attic/residual_group.py) builds, runs, and produces the right
 shapes in interpret mode. Kernel numerics are covered exhaustively in
 tests/test_residual_group_kernel.py; the round-1 per-RCAB kernel was removed
 (it loses to XLA's conv emitter — PERF.md)."""

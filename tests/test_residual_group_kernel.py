@@ -1,4 +1,4 @@
-"""Fused lane-packed ResidualGroup kernel (ops/pallas/residual_group.py):
+"""Fused lane-packed ResidualGroup kernel (ops/pallas/attic/residual_group.py):
 interpret-mode equivalence of forward AND gradients vs the plain XLA
 ResidualGroup composition on identical logical params."""
 import numpy as np
