@@ -91,6 +91,7 @@ def main():
     p = argparse.ArgumentParser()
     p.add_argument("--cpu", action="store_true")
     p.add_argument("--int8", action="store_true")
+    p.add_argument("--int8-fused", action="store_true", dest="int8_fused")
     p.add_argument("--steps", type=int, default=3)
     p.add_argument("--batch", type=int, default=72)
     p.add_argument("--lane_pack", type=int, default=2)
@@ -112,7 +113,8 @@ def main():
     mcfg = dict(name="rcan", nfeatures=args.nfeatures, nlayers=args.nlayers,
                 nblocks=args.nblocks, cbottleneck=2, kernel_size=3,
                 downscale_factors=[2, 2], loss_fn="l2", lane_pack=args.lane_pack,
-                quantization="int8" if args.int8 else None)
+                quantization=("int8_fused" if args.int8_fused
+                              else "int8" if args.int8 else None))
     model = build_model(mcfg, 1, 1, precision="f32" if args.cpu else "bf16")
     optimizer = optax.adam(1e-4)
     state, has_bn = init_state(model, optimizer,
@@ -138,7 +140,8 @@ def main():
 
     totals, nops, sources = parse_perfetto(tdir)
     total = sum(totals.values())
-    mode = "int8" if args.int8 else ("f32" if args.cpu else "bf16")
+    mode = ("int8_fused" if args.int8_fused else
+            "int8" if args.int8 else ("f32" if args.cpu else "bf16"))
     print(f"\n{args.steps} steps, batch {args.batch}, {mode}, "
           f"lane_pack {args.lane_pack}; loss {loss:.4f}; "
           f"{nops} device ops, {total:.1f} ms total device time "
