@@ -6,23 +6,27 @@ train step to AQT's quantization machinery: absmax calibration 11.7 ms,
 integer rounding 10.2 ms, data formatting 20.1 ms. AQT builds those from a
 general dot-quantization framework (tiled calibration contexts, dtype
 abstraction layers); this module instead emits the minimal HLO — one absmax
-reduce and one fused round/clip/convert per operand, then an int8-MXU conv
-(see _conv_i8's lowering note) — for the forward AND both backward
-contractions, so XLA can producer/consumer-fuse every elementwise piece
-into neighboring work.
+reduce and one fused round/clip per operand, then an int8-MXU conv (see
+_q8's lowering note) — for the forward AND both backward contractions, so
+XLA can producer/consumer-fuse every elementwise piece into neighboring
+work. The backward convs use the exact dimension-number relabelings JAX's
+own autodiff emits (transpose_lhs/transpose_rhs specialized to stride 1):
+zero data movement, XLA recognizes input-/weight-gradient convs.
 
-Memory: the forward stashes the INT8 activations (+ per-sample scales) as
-the residual, not the f32 input — 4× smaller than an f32 stash (the naive
-version OOMed the full RCAN at batch 144: 410 convs × 85 MB f32 > 15.75 G
-HBM). The dw contraction reuses that int8 stash directly by absorbing each
-sample's activation scale into the cotangent before quantizing it:
+Memory: the forward stashes the QUANTIZED activations (+ per-sample scales)
+as the residual, not the raw f32 input (the naive version OOMed the full
+RCAN at batch 144: 410 convs × 85 MB f32 > 15.75 G HBM); the trunk's
+per-group remat (models/rcan.py) frees the stashes between groups. The dw
+contraction reuses the stash directly by absorbing each sample's activation
+scale into the cotangent before quantizing it:
 dw = Σ_b (xq_b·sx_b) ⋆ g_b = Σ_b xq_b ⋆ (g_b·sx_b).
 
-Scale structure (matches the AQT conv defaults' numerics envelope,
-~1.4% relative error per conv):
+Scale structure (the AQT conv defaults' numerics envelope, ~1.4% relative
+error per conv — and measured BETTER training quality: int8_fused training
+converges within 0.8% of f32 where AQT training binds at +27%, PERF.md):
   forward: activations per-sample, weights per-output-channel
-  dx:      cotangent per-sample, spatially-flipped weights per-input-channel
-  dw:      int8 activation stash × per-tensor-quantized scale-absorbed
+  dx:      cotangent per-sample, spatially-reversed weights per-input-channel
+  dw:      quantized activation stash × per-tensor-quantized scale-absorbed
            cotangent
 Quantization is a straight-through estimator: identity for gradients.
 
@@ -45,61 +49,68 @@ Pad = Tuple[Tuple[int, int], Tuple[int, int]]
 
 
 def _q8(t: jnp.ndarray, axes: Optional[Tuple[int, ...]]):
-    """absmax-quantize to int8 (f32 math); returns (q, scale), t ≈ q·scale."""
+    """absmax-quantize to int8 VALUES carried in bf16 (f32 math); returns
+    (q, scale) with t ≈ q·scale.
+
+    LOWERING NOTE: the quantized values deliberately stay bf16 round/clip
+    outputs — NO s8 round-trip. Step-level profiling (PERF.md round 3)
+    showed the TPU backend's int8-conv acceleration keys on this producer
+    form: AQT's convs (same form) run at ~0.073 ms effective per trunk
+    conv, while convert(s8)->bf16 operands ran at the plain bf16 rate
+    (0.17 ms) for fwd/dx and raw-s8-operand dw convs at HALF the bf16 rate
+    (0.35 ms). Integers <=127 are exact in bf16.
+    """
     tf = t.astype(jnp.float32)
     amax = jnp.max(jnp.abs(tf), axis=axes, keepdims=True)
     scale = jnp.maximum(amax, 1e-30) * (1.0 / 127.0)
-    q = jnp.clip(jnp.round(tf * (1.0 / scale)), -127.0, 127.0).astype(jnp.int8)
-    return q, scale
+    q = jnp.clip(jnp.round(tf * (1.0 / scale)), -127.0, 127.0)
+    return q.astype(jnp.bfloat16), scale
 
 
 def _conv_i8(x: jnp.ndarray, w: jnp.ndarray, pad: Pad,
-             dn: Optional[lax.ConvDimensionNumbers] = None) -> jnp.ndarray:
-    """Conv over int8-quantized operands. CRITICAL lowering detail: the
-    operands are cast int8→bf16 and the conv runs with a float accumulator —
-    XLA:TPU pattern-matches convert-from-int8 operands onto the int8 MXU
-    (the same mechanism AQT relies on: aqt_conv_general.py's
-    ``qvalue_astype(lhs.dtype)``). Feeding raw int8 operands with an int32
-    preferred_element_type takes a several-times-slower non-MXU path
-    (measured: 520 ms/step vs AQT's 140 at batch 144). Int values ≤127 are
-    exact in bf16; products accumulate in f32."""
+             dn: Optional[lax.ConvDimensionNumbers] = None,
+             out32: bool = False) -> jnp.ndarray:
+    """Conv over int8-quantized bf16 operands (see _q8's lowering note).
+    Production keeps the backend's native output dtype (bf16); ``out32``
+    requests an f32 accumulator output — used by the exactness tests to pin
+    the backward's transposes/padding/scale math without bf16 output
+    rounding."""
     if dn is None:
         dn = lax.conv_dimension_numbers(x.shape, w.shape,
                                         ("NHWC", "HWIO", "NHWC"))
-    return lax.conv_general_dilated(
+    pet = jnp.float32 if out32 else None
+    y = lax.conv_general_dilated(
         x.astype(jnp.bfloat16), w.astype(jnp.bfloat16), (1, 1), pad,
-        dimension_numbers=dn, preferred_element_type=jnp.float32)
+        dimension_numbers=dn, preferred_element_type=pet)
+    return y.astype(jnp.float32)
 
 
-@partial(jax.custom_vjp, nondiff_argnums=(2,))
-def int8_conv(x: jnp.ndarray, w: jnp.ndarray, pad: Pad) -> jnp.ndarray:
+@partial(jax.custom_vjp, nondiff_argnums=(2, 3))
+def int8_conv(x: jnp.ndarray, w: jnp.ndarray, pad: Pad,
+              out32: bool = False) -> jnp.ndarray:
     """y = conv(x, w) on the int8 MXU; x (B,H,W,I) f32, w (kh,kw,I,O) f32."""
     xq, sx = _q8(x, (1, 2, 3))
     wq, sw = _q8(w, (0, 1, 2))
-    y = _conv_i8(xq, wq, pad)
+    y = _conv_i8(xq, wq, pad, out32=out32)
     return y * (sx * sw)     # (B,1,1,1)·(1,1,1,O) broadcast
 
 
-def _fwd(x, w, pad):
+def _fwd(x, w, pad, out32):
     xq, sx = _q8(x, (1, 2, 3))
     wq, sw = _q8(w, (0, 1, 2))
-    y = _conv_i8(xq, wq, pad) * (sx * sw)
-    return y, (xq, sx, w)    # int8 activation stash — see module docstring
+    y = _conv_i8(xq, wq, pad, out32=out32) * (sx * sw)
+    # quantized-activation stash (integer values, exact in bf16); per-conv
+    # residuals are freed between groups by the trunk remat (models/rcan.py)
+    return y, (xq, sx, w)
 
 
-# Backward convs use JAX's OWN transpose formulations (jax/_src/lax/
-# convolution.py _conv_general_dilated_transpose_{lhs,rhs}, specialized to
-# stride 1 / no dilation): dims are RELABELED via ConvDimensionNumbers, with
-# zero data movement, so XLA recognizes them as input-/weight-gradient convs
-# and compiles its optimized forms. The first version instead transposed the
-# operands and issued a generic 48×48-window conv for dw — which dominated
-# the whole step (520 ms vs AQT's 140 at batch 144 — the conv itself, not
-# quantization, was the cost).
+# Backward dimension-number relabelings (JAX's own transpose formulations,
+# jax/_src/lax/convolution.py, specialized to stride 1 / no dilation).
 _DN_DX = lax.ConvDimensionNumbers((0, 3, 1, 2), (2, 3, 0, 1), (0, 3, 1, 2))
 _DN_DW = lax.ConvDimensionNumbers((3, 0, 1, 2), (3, 0, 1, 2), (2, 3, 0, 1))
 
 
-def _bwd(pad: Pad, res, g):
+def _bwd(pad: Pad, out32: bool, res, g):
     xq, sx, w = res
     k_h, k_w = w.shape[0], w.shape[1]
     g = g.astype(jnp.float32)
@@ -111,19 +122,19 @@ def _bwd(pad: Pad, res, g):
     wq2, sw2 = _q8(w, (0, 1, 3))                       # (1,1,I,1) scales
     padT = ((k_h - 1 - pad[0][0], k_h - 1 - pad[0][1]),
             (k_w - 1 - pad[1][0], k_w - 1 - pad[1][1]))
-    dx = _conv_i8(gq, jnp.flip(wq2, (0, 1)), padT, _DN_DX) \
+    dx = _conv_i8(gq, jnp.flip(wq2, (0, 1)), padT, _DN_DX, out32) \
         * (sg * sw2.reshape(1, 1, 1, -1))
 
     # dw = conv(x, g·sx) with the batch as the contracted dim (lhs spec
-    # (3,0,1,2): C is "batch") → output directly (kh,kw,I,O). The int8 stash
-    # substitutes for x once each sample's activation scale is absorbed into
-    # the cotangent (then per-tensor-quantized so the scale factors out of
-    # the b-sum).
+    # (3,0,1,2): C is "batch") → output directly (kh,kw,I,O). The quantized
+    # stash substitutes for x once each sample's activation scale is
+    # absorbed into the cotangent (then per-tensor-quantized so the scale
+    # factors out of the b-sum).
     gp = g * sx
     gpq, sgp = _q8(gp, None)
     pad_dw = ((pad[0][0], k_h - 1 - pad[0][0]),
               (pad[1][0], k_w - 1 - pad[1][0]))
-    dw = _conv_i8(xq, gpq, pad_dw, _DN_DW) * sgp
+    dw = _conv_i8(xq, gpq, pad_dw, _DN_DW, out32) * sgp
     return dx, dw.astype(w.dtype)
 
 

@@ -41,13 +41,22 @@ def test_exact_on_lossless_integer_data(k, cin, cout):
     w = jnp.asarray(_int_data(rng, (k, k, cin, cout), chan_axis_full="w"))
     g = jnp.asarray(_int_data(rng, (3, 6, 6, cout)))
 
-    y, vjp = jax.vjp(lambda a, b: int8_conv(a, b, pad), x, w)
+    # out32=True: f32 accumulator output so integer sums stay exact — pins
+    # the backward's transposes/padding/scale math bit-for-bit; the
+    # production path (bf16 output, the backend's accelerated form) is
+    # checked at tolerance below
+    y, vjp = jax.vjp(lambda a, b: int8_conv(a, b, pad, True), x, w)
     yr, vjpr = jax.vjp(lambda a, b: _f32_conv(a, b, pad), x, w)
     np.testing.assert_array_equal(np.asarray(y), np.asarray(yr))
     dx, dw = vjp(g)
     dxr, dwr = vjpr(g)
     np.testing.assert_array_equal(np.asarray(dx), np.asarray(dxr))
     np.testing.assert_array_equal(np.asarray(dw), np.asarray(dwr))
+
+    yp = int8_conv(x, w, pad)          # production bf16-output path
+    rel = np.linalg.norm(np.asarray(yp) - np.asarray(yr)) / \
+        np.linalg.norm(np.asarray(yr))
+    assert rel < 5e-3, rel
 
 
 def test_approx_on_gaussian_data():
