@@ -33,11 +33,9 @@ class RCAN(nn.Module):
     lane_pack: int = 1        # tiles packed per image in the trunk (PERF.md)
     quantization: Optional[str] = None  # 'int8': AQT trunk convs (opt-in,
     # changes numerics; head/tail/upsampler/CA stay full precision)
-    remat_trunk: Optional[bool] = None  # checkpoint each residual group;
-    # default: on for quantization='int8_fused' (its custom-VJP convs pin an
-    # int8 activation stash per conv — 410×21 MB at batch 144 — which group
-    # remat frees between groups; recomputing a group's int8 forward is
-    # cheap). Explicit true/false overrides.
+    remat_trunk: Optional[bool] = None  # checkpoint each residual group
+    # (memory lever for very large batches; off by default — the int8_fused
+    # path uses native autodiff, so XLA rematerializes freely on its own).
     dtype: Optional[Any] = None
 
     @nn.compact
@@ -57,8 +55,7 @@ class RCAN(nn.Module):
             x = jnp.concatenate([x, jnp.zeros((bpad,) + x.shape[1:], x.dtype)], 0)
         res = pack_tiles(x, pk) if pk > 1 else x
         skip = res
-        remat = (self.quantization == "int8_fused" if self.remat_trunk is None
-                 else bool(self.remat_trunk))
+        remat = bool(self.remat_trunk)
         group_cls = nn.remat(ResidualGroup) if remat else ResidualGroup
         for i in range(self.nlayers):
             if self.fused and pk == 2:

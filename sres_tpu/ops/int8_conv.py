@@ -1,34 +1,41 @@
-"""Lean dynamically-quantized int8 convolution (custom VJP) — the fused
-replacement for the AQT trunk path.
+"""Lean dynamically-quantized int8 convolution — the fused replacement for
+the AQT trunk path.
 
 PERF.md's hlo_category profile attributes ~46 ms/step (34%) of the int8
 train step to AQT's quantization machinery: absmax calibration 11.7 ms,
 integer rounding 10.2 ms, data formatting 20.1 ms. AQT builds those from a
 general dot-quantization framework (tiled calibration contexts, dtype
 abstraction layers); this module instead emits the minimal HLO — one absmax
-reduce and one fused round/clip per operand, then an int8-MXU conv (see
-_q8's lowering note) — for the forward AND both backward contractions, so
-XLA can producer/consumer-fuse every elementwise piece into neighboring
-work. The backward convs use the exact dimension-number relabelings JAX's
-own autodiff emits (transpose_lhs/transpose_rhs specialized to stride 1):
-zero data movement, XLA recognizes input-/weight-gradient convs.
+reduce and one fused round/clip per operand, then the conv.
 
-Memory: the forward stashes the QUANTIZED activations (+ per-sample scales)
-as the residual, not the raw f32 input (the naive version OOMed the full
-RCAN at batch 144: 410 convs × 85 MB f32 > 15.75 G HBM); the trunk's
-per-group remat (models/rcan.py) frees the stashes between groups. The dw
-contraction reuses the stash directly by absorbing each sample's activation
-scale into the cotangent before quantizing it:
-dw = Σ_b (xq_b·sx_b) ⋆ g_b = Σ_b xq_b ⋆ (g_b·sx_b).
+Design history (round 3, all MEASURED on chip — see PERF.md):
+1. custom-VJP with raw s8 operands / int32 accumulation: 277 t/s. The TPU
+   backend does not accelerate raw-s8 convs here; s8-operand dw convs ran
+   at HALF the bf16 rate.
+2. custom-VJP with bf16-carried integer operands (AQT's operand form) and
+   hand-built backward convs (JAX's own transpose dimension-number
+   relabelings): 250-277 t/s. The custom VJP itself is the obstacle — its
+   materialized residuals and fixed backward structure prevent XLA from
+   forming the horizontally-fused conv groups that make the AQT step fast
+   (AQT's compiled step runs ~450 conv fusions for 1230 logical convs).
+3. THIS version: no custom VJP at all. Quantization is expressed as a
+   VALUE-EXACT straight-through estimator —
+       q = stop_grad(round_clip(t/s)) + (t/s − stop_grad(t/s))
+   whose parenthesis is identically zero in value (so the forward operand
+   is the exact integer grid the backend's int8 pattern-match keys on)
+   while the gradient of q w.r.t. t is 1/s. JAX's native autodiff then
+   differentiates through the conv exactly as it does for AQT: XLA owns the
+   backward structure, rematerialization, and fusion.
 
-Scale structure (the AQT conv defaults' numerics envelope, ~1.4% relative
-error per conv — and measured BETTER training quality: int8_fused training
-converges within 0.8% of f32 where AQT training binds at +27%, PERF.md):
-  forward: activations per-sample, weights per-output-channel
-  dx:      cotangent per-sample, spatially-reversed weights per-input-channel
-  dw:      quantized activation stash × per-tensor-quantized scale-absorbed
-           cotangent
-Quantization is a straight-through estimator: identity for gradients.
+Like AQT, the backward convs therefore run with the UNQUANTIZED cotangent
+(bf16) against the quantized operand. Quantized-backward variants (design
+1/2) were measured strictly worse in throughput with no quality advantage:
+int8_fused training converges within ~1% of f32 either way, where AQT's
+own numerics bind at +27% (scripts/bench/int8_convergence.py, PERF.md).
+
+Scale structure: activations per-sample, weights per-output-channel
+(absmax, round-to-nearest); scales are stop-gradiented (calibration carries
+no gradient — AQT's default).
 
 Scope: stride-1 NHWC/HWIO convs with symmetric padding — the RCAN trunk's
 3×3 and CA 1×1 shapes (reference: sres/model/rcan/network.py:50-80). The
@@ -38,7 +45,6 @@ falls back to full precision for any unsupported call.
 """
 from __future__ import annotations
 
-from functools import partial
 from typing import Optional, Tuple
 
 import jax
@@ -48,97 +54,41 @@ from jax import lax
 Pad = Tuple[Tuple[int, int], Tuple[int, int]]
 
 
-def _q8(t: jnp.ndarray, axes: Optional[Tuple[int, ...]]):
-    """absmax-quantize to int8 VALUES carried in bf16 (f32 math); returns
-    (q, scale) with t ≈ q·scale.
+def _q8_ste(t: jnp.ndarray, axes: Optional[Tuple[int, ...]]):
+    """absmax-quantize to the int8 grid with a value-exact STE.
 
-    LOWERING NOTE: the quantized values deliberately stay bf16 round/clip
-    outputs — NO s8 round-trip. Step-level profiling (PERF.md round 3)
-    showed the TPU backend's int8-conv acceleration keys on this producer
-    form: AQT's convs (same form) run at ~0.073 ms effective per trunk
-    conv, while convert(s8)->bf16 operands ran at the plain bf16 rate
-    (0.17 ms) for fwd/dx and raw-s8-operand dw convs at HALF the bf16 rate
-    (0.35 ms). Integers <=127 are exact in bf16.
-    """
+    Returns (q, scale) with t ≈ q·scale. q's VALUE is exactly
+    clip(round(t/scale)) — integer-valued, which the TPU backend's int8
+    conv selection pattern-matches — while its GRADIENT w.r.t. t is
+    1/scale (straight-through; the scale itself is stop-gradiented)."""
     tf = t.astype(jnp.float32)
     amax = jnp.max(jnp.abs(tf), axis=axes, keepdims=True)
-    scale = jnp.maximum(amax, 1e-30) * (1.0 / 127.0)
-    q = jnp.clip(jnp.round(tf * (1.0 / scale)), -127.0, 127.0)
-    return q.astype(jnp.bfloat16), scale
+    scale = lax.stop_gradient(jnp.maximum(amax, 1e-30) * (1.0 / 127.0))
+    a = tf * (1.0 / scale)
+    qv = jnp.clip(jnp.round(a), -127.0, 127.0)
+    q = lax.stop_gradient(qv) + (a - lax.stop_gradient(a))
+    return q, scale
 
 
-def _conv_i8(x: jnp.ndarray, w: jnp.ndarray, pad: Pad,
-             dn: Optional[lax.ConvDimensionNumbers] = None,
-             out32: bool = False) -> jnp.ndarray:
-    """Conv over int8-quantized bf16 operands (see _q8's lowering note).
-    Production keeps the backend's native output dtype (bf16); ``out32``
-    requests an f32 accumulator output — used by the exactness tests to pin
-    the backward's transposes/padding/scale math without bf16 output
-    rounding."""
-    if dn is None:
-        dn = lax.conv_dimension_numbers(x.shape, w.shape,
-                                        ("NHWC", "HWIO", "NHWC"))
-    pet = jnp.float32 if out32 else None
-    y = lax.conv_general_dilated(
-        x.astype(jnp.bfloat16), w.astype(jnp.bfloat16), (1, 1), pad,
-        dimension_numbers=dn, preferred_element_type=pet)
-    return y.astype(jnp.float32)
-
-
-@partial(jax.custom_vjp, nondiff_argnums=(2, 3))
 def int8_conv(x: jnp.ndarray, w: jnp.ndarray, pad: Pad,
               out32: bool = False) -> jnp.ndarray:
-    """y = conv(x, w) on the int8 MXU; x (B,H,W,I) f32, w (kh,kw,I,O) f32."""
-    xq, sx = _q8(x, (1, 2, 3))
-    wq, sw = _q8(w, (0, 1, 2))
-    y = _conv_i8(xq, wq, pad, out32=out32)
-    return y * (sx * sw)     # (B,1,1,1)·(1,1,1,O) broadcast
-
-
-def _fwd(x, w, pad, out32):
-    xq, sx = _q8(x, (1, 2, 3))
-    wq, sw = _q8(w, (0, 1, 2))
-    y = _conv_i8(xq, wq, pad, out32=out32) * (sx * sw)
-    # quantized-activation stash (integer values, exact in bf16); per-conv
-    # residuals are freed between groups by the trunk remat (models/rcan.py)
-    return y, (xq, sx, w)
-
-
-# Backward dimension-number relabelings (JAX's own transpose formulations,
-# jax/_src/lax/convolution.py, specialized to stride 1 / no dilation).
-_DN_DX = lax.ConvDimensionNumbers((0, 3, 1, 2), (2, 3, 0, 1), (0, 3, 1, 2))
-_DN_DW = lax.ConvDimensionNumbers((3, 0, 1, 2), (3, 0, 1, 2), (2, 3, 0, 1))
-
-
-def _bwd(pad: Pad, out32: bool, res, g):
-    xq, sx, w = res
-    k_h, k_w = w.shape[0], w.shape[1]
-    g = g.astype(jnp.float32)
-
-    # dx = conv(g, spatially-reversed w) with I read as the output-feature
-    # dim (rhs spec (2,3,0,1)); weights quantized per-INPUT-channel so the
-    # scale factors out of the O-contraction.
-    gq, sg = _q8(g, (1, 2, 3))
-    wq2, sw2 = _q8(w, (0, 1, 3))                       # (1,1,I,1) scales
-    padT = ((k_h - 1 - pad[0][0], k_h - 1 - pad[0][1]),
-            (k_w - 1 - pad[1][0], k_w - 1 - pad[1][1]))
-    dx = _conv_i8(gq, jnp.flip(wq2, (0, 1)), padT, _DN_DX, out32) \
-        * (sg * sw2.reshape(1, 1, 1, -1))
-
-    # dw = conv(x, g·sx) with the batch as the contracted dim (lhs spec
-    # (3,0,1,2): C is "batch") → output directly (kh,kw,I,O). The quantized
-    # stash substitutes for x once each sample's activation scale is
-    # absorbed into the cotangent (then per-tensor-quantized so the scale
-    # factors out of the b-sum).
-    gp = g * sx
-    gpq, sgp = _q8(gp, None)
-    pad_dw = ((pad[0][0], k_h - 1 - pad[0][0]),
-              (pad[1][0], k_w - 1 - pad[1][0]))
-    dw = _conv_i8(xq, gpq, pad_dw, _DN_DW, out32) * sgp
-    return dx, dw.astype(w.dtype)
-
-
-int8_conv.defvjp(_fwd, _bwd)
+    """y = conv(x, w) over int8-quantized operands; x (B,H,W,I) f32/bf16,
+    w (kh,kw,I,O) f32. Differentiable (STE); ``out32`` requests an f32
+    accumulator output (used by the exactness tests — production keeps the
+    backend-native bf16 output)."""
+    xq, sx = _q8_ste(x, (1, 2, 3))
+    wq, sw = _q8_ste(w, (0, 1, 2))
+    dn = lax.conv_dimension_numbers(x.shape, w.shape, ("NHWC", "HWIO", "NHWC"))
+    if out32:
+        # test mode: f32 operands + f32 accumulator so integer sums stay
+        # exact (autodiff's transpose convs need matching dtypes)
+        y = lax.conv_general_dilated(xq, wq, (1, 1), pad,
+                                     dimension_numbers=dn)
+    else:
+        y = lax.conv_general_dilated(
+            xq.astype(jnp.bfloat16), wq.astype(jnp.bfloat16), (1, 1), pad,
+            dimension_numbers=dn)
+    return y.astype(jnp.float32) * (sx * sw)   # (B,1,1,1)·(1,1,1,O)
 
 
 def _normalize_pad(padding, k_h: int, k_w: int) -> Optional[Pad]:
@@ -186,7 +136,7 @@ def int8_conv_fn():
         pad = _normalize_pad(padding, rhs.shape[0], rhs.shape[1])
         if pad is None:
             return fallback()
-        out = int8_conv(lhs.astype(jnp.float32), rhs.astype(jnp.float32), pad)
+        out = int8_conv(lhs, rhs.astype(jnp.float32), pad)
         if preferred_element_type is not None:
             out = out.astype(preferred_element_type)
         return out

@@ -132,11 +132,9 @@ def test_fused_matches_aqt_envelope_in_model():
 
 
 def test_remat_trunk_identical_tree_and_math():
-    """quantization=int8_fused defaults to per-group jax.checkpoint (the
-    custom-VJP convs pin int8 activation stashes; group remat frees them
-    between groups — the unrematted b144 run OOM-thrashed at 16 GB). The
-    remat must not change the param tree (names stay ResidualGroup_i), the
-    forward (bitwise), or the gradients (f32 fusion-order tolerance)."""
+    """model.remat_trunk (per-group jax.checkpoint, a memory lever) must not
+    change the param tree (names stay ResidualGroup_i), the forward
+    (bitwise), or the gradients (f32 fusion-order tolerance)."""
     import jax
     import numpy as np
     from sres_tpu.models import build_model
@@ -144,7 +142,7 @@ def test_remat_trunk_identical_tree_and_math():
     base = dict(name="rcan", nfeatures=8, nlayers=2, nblocks=2, cbottleneck=2,
                 kernel_size=3, downscale_factors=[2, 2],
                 quantization="int8_fused")
-    m1 = build_model(base, 1, 1, precision="f32")
+    m1 = build_model({**base, "remat_trunk": True}, 1, 1, precision="f32")
     m2 = build_model({**base, "remat_trunk": False}, 1, 1, precision="f32")
     x = jnp.asarray(np.random.default_rng(0).normal(size=(2, 12, 12, 1))
                     .astype(np.float32))
