@@ -18,14 +18,16 @@ Design history (round 3, all MEASURED on chip — see PERF.md):
    materialized residuals and fixed backward structure prevent XLA from
    forming the horizontally-fused conv groups that make the AQT step fast
    (AQT's compiled step runs ~450 conv fusions for 1230 logical convs).
-3. THIS version: no custom VJP at all. Quantization is expressed as a
-   VALUE-EXACT straight-through estimator —
-       q = stop_grad(round_clip(t/s)) + (t/s − stop_grad(t/s))
-   whose parenthesis is identically zero in value (so the forward operand
-   is the exact integer grid the backend's int8 pattern-match keys on)
-   while the gradient of q w.r.t. t is 1/s. JAX's native autodiff then
-   differentiates through the conv exactly as it does for AQT: XLA owns the
-   backward structure, rematerialization, and fusion.
+3. value-exact arithmetic STE (q = sg(qv) + (t/s − sg(t/s))): still
+   277 t/s — the add/sub wrapper pollutes the operand chain, and XLA's
+   fold requires a CLEAN convert(s8) operand.
+4. THIS version: AQT's exact compiled form, isolated by dumping its
+   optimized HLO — the conv's operands are literal s8 arrays with a bf16
+   OUTPUT (XLA folds convert(s8→bf16) operands into an s8×s8→bf16
+   convolution; an f32 preferred_element_type blocks the fold). The only
+   custom VJP is on the elementwise round/clip/cast (straight-through),
+   so the conv itself is natively differentiated: clean convert(s8)
+   operands in the forward, XLA-owned backward structure/remat/fusion.
 
 Like AQT, the backward convs therefore run with the UNQUANTIZED cotangent
 (bf16) against the quantized operand. Quantized-backward variants (design
@@ -54,19 +56,44 @@ from jax import lax
 Pad = Tuple[Tuple[int, int], Tuple[int, int]]
 
 
-def _q8_ste(t: jnp.ndarray, axes: Optional[Tuple[int, ...]]):
-    """absmax-quantize to the int8 grid with a value-exact STE.
+@jax.custom_vjp
+def _round_clip_s8(a: jnp.ndarray) -> jnp.ndarray:
+    """clip(round(a)) → int8 → bf16, straight-through gradient.
 
-    Returns (q, scale) with t ≈ q·scale. q's VALUE is exactly
-    clip(round(t/scale)) — integer-valued, which the TPU backend's int8
-    conv selection pattern-matches — while its GRADIENT w.r.t. t is
-    1/scale (straight-through; the scale itself is stop-gradiented)."""
+    The custom VJP is scoped to THIS elementwise op only, so the forward
+    HLO keeps a clean convert(s8) producer for the conv operand (which XLA
+    folds into an s8×s8→bf16 convolution — the accelerated form) while the
+    conv itself stays natively differentiable."""
+    q = jnp.clip(jnp.round(a), -127.0, 127.0)
+    return q.astype(jnp.int8).astype(jnp.bfloat16)
+
+
+def _rc_fwd(a):
+    return _round_clip_s8(a), None
+
+
+def _rc_bwd(_, g):
+    return (g.astype(jnp.float32),)
+
+
+_round_clip_s8.defvjp(_rc_fwd, _rc_bwd)
+
+
+def _q8_ste(t: jnp.ndarray, axes: Optional[Tuple[int, ...]],
+            out32: bool = False):
+    """absmax-quantize to the int8 grid; returns (q, scale), t ≈ q·scale.
+    Gradient w.r.t. t is 1/scale (straight-through through _round_clip_s8
+    and the division; the scale itself is stop-gradiented). ``out32`` keeps
+    everything f32 with no s8 cast — the exactness-test mode."""
     tf = t.astype(jnp.float32)
     amax = jnp.max(jnp.abs(tf), axis=axes, keepdims=True)
     scale = lax.stop_gradient(jnp.maximum(amax, 1e-30) * (1.0 / 127.0))
     a = tf * (1.0 / scale)
-    qv = jnp.clip(jnp.round(a), -127.0, 127.0)
-    q = lax.stop_gradient(qv) + (a - lax.stop_gradient(a))
+    if out32:
+        qv = jnp.clip(jnp.round(a), -127.0, 127.0)
+        q = lax.stop_gradient(qv) + (a - lax.stop_gradient(a))
+    else:
+        q = _round_clip_s8(a)
     return q, scale
 
 
@@ -76,18 +103,13 @@ def int8_conv(x: jnp.ndarray, w: jnp.ndarray, pad: Pad,
     w (kh,kw,I,O) f32. Differentiable (STE); ``out32`` requests an f32
     accumulator output (used by the exactness tests — production keeps the
     backend-native bf16 output)."""
-    xq, sx = _q8_ste(x, (1, 2, 3))
-    wq, sw = _q8_ste(w, (0, 1, 2))
+    xq, sx = _q8_ste(x, (1, 2, 3), out32)
+    wq, sw = _q8_ste(w, (0, 1, 2), out32)
     dn = lax.conv_dimension_numbers(x.shape, w.shape, ("NHWC", "HWIO", "NHWC"))
-    if out32:
-        # test mode: f32 operands + f32 accumulator so integer sums stay
-        # exact (autodiff's transpose convs need matching dtypes)
-        y = lax.conv_general_dilated(xq, wq, (1, 1), pad,
-                                     dimension_numbers=dn)
-    else:
-        y = lax.conv_general_dilated(
-            xq.astype(jnp.bfloat16), wq.astype(jnp.bfloat16), (1, 1), pad,
-            dimension_numbers=dn)
+    # out32 (test mode): f32 operands + f32 accumulator so integer sums stay
+    # exact. Production: bf16 operands that are converts-from-s8, bf16
+    # output — the form XLA folds onto the s8 conv path.
+    y = lax.conv_general_dilated(xq, wq, (1, 1), pad, dimension_numbers=dn)
     return y.astype(jnp.float32) * (sx * sw)   # (B,1,1,1)·(1,1,1,O)
 
 
