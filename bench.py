@@ -68,9 +68,13 @@ def main() -> None:
                    help="opt-in AQT int8 trunk convs (model.quantization: "
                         "int8) — changes numerics, serving-oriented")
     p.add_argument("--int8-fused", action="store_true", dest="int8_fused",
-                   help="the lean custom-VJP int8 path (model.quantization: "
-                        "int8_fused, ops/int8_conv.py) — same scale "
-                        "structure as AQT, minimal quantization HLO")
+                   help="the lean forward-quantized int8 path "
+                        "(model.quantization: int8_fused, ops/int8_conv.py) "
+                        "— same scale structure as AQT, minimal quant HLO")
+    p.add_argument("--int8-full", action="store_true", dest="int8_full",
+                   help="int8_fused plus int8 backward contractions "
+                        "(model.quantization: int8_full) — the training "
+                        "speed path; all three convs ride the int8 MXU")
     p.add_argument("--scan", type=int, default=0,
                    help="K>0: run K optimizer steps per device dispatch "
                         "(lax.scan over K staged batches) — amortizes "
@@ -100,7 +104,8 @@ def main() -> None:
                     nblocks=args.nblocks, cbottleneck=2, kernel_size=3,
                     downscale_factors=[2, 2], loss_fn="l2", lane_pack=args.lane_pack,
                     fused=args.fused,
-                    quantization=("int8_fused" if args.int8_fused
+                    quantization=("int8_full" if args.int8_full
+                                  else "int8_fused" if args.int8_fused
                                   else "int8" if args.int8 else None))
     precision = "f32" if args.f32 else "bf16"
     model = build_model(mcfg, 1, 1, precision=precision)
@@ -118,7 +123,7 @@ def main() -> None:
     if args.batch == 0:
         # int8's shorter step amortizes better at 2x batch in every mode:
         # train 1032 vs 760, eval 1300 vs 1050, serve 1305 vs 1120 measured
-        args.batch = 144 if (args.int8 or args.int8_fused) else 72
+        args.batch = 144 if (args.int8 or args.int8_fused or args.int8_full) else 72
     batch = ((args.batch + ndev - 1) // ndev) * ndev
     scan = 0 if (args.eval or args.serve) else args.scan
 
@@ -225,7 +230,7 @@ def main() -> None:
     fwd_bwd = 1 if (args.eval or args.serve) else 3
     flops_per_tile = fwd_bwd * 83.4e9 * (args.nlayers / 10) * (args.nblocks / 20) \
         * (args.nfeatures / 64) ** 2
-    peak = 394e12 if (args.int8 or args.int8_fused) else 197e12  # v5e int8 MXU peak = 2x bf16
+    peak = 394e12 if (args.int8 or args.int8_fused or args.int8_full) else 197e12  # v5e int8 MXU peak = 2x bf16
     # the FLOP model is the flagship RCAN's — meaningless for --model-yaml
     mfu = -1.0 if args.model_yaml else per_chip * flops_per_tile / peak
     print(json.dumps({
@@ -239,7 +244,7 @@ def main() -> None:
                                          else A100_BASELINE_TILES_PER_SEC), 3),
         "detail": {
             "devices": ndev, "batch": batch, "steps": args.steps,
-            "precision": precision, "lane_pack": args.lane_pack, "fused": args.fused, "scan": scan, "int8": args.int8, "int8_fused": args.int8_fused, "step_ms": round(1000 * dt / args.steps, 2),
+            "precision": precision, "lane_pack": args.lane_pack, "fused": args.fused, "scan": scan, "int8": args.int8, "int8_fused": args.int8_fused, "int8_full": args.int8_full, "step_ms": round(1000 * dt / args.steps, 2),
             "loss": loss_val, "mfu": round(mfu, 4),
             "hbm_peak_gb": _hbm_peak_gb(jax),
             # compile-time footprint (args+temp+out-aliased) of the step

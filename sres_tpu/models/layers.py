@@ -46,14 +46,15 @@ def aqt_conv_fn():
 
 def quant_conv_fn(quant: Optional[str]):
     """conv_general_dilated replacement for a quantization mode: 'int8' =
-    AQT, 'int8_fused' = the lean custom-VJP path (ops/int8_conv.py — same
-    scale structure, minimal HLO so quant fuses into neighbors), None = no
-    override."""
+    AQT, 'int8_fused' = the lean forward-quantized path (ops/int8_conv.py —
+    same scale structure, minimal HLO so quant fuses into neighbors),
+    'int8_full' = int8_fused plus int8 backward contractions (the training
+    speed path), None = no override."""
     if quant == "int8":
         return aqt_conv_fn()
-    if quant == "int8_fused":
+    if quant in ("int8_fused", "int8_full"):
         from sres_tpu.ops.int8_conv import int8_conv_fn
-        return int8_conv_fn()
+        return int8_conv_fn(full=(quant == "int8_full"))
     if quant:
         raise ValueError(f"Unknown quantization mode {quant!r}")
     return None

@@ -47,6 +47,7 @@ falls back to full precision for any unsupported call.
 """
 from __future__ import annotations
 
+from functools import partial
 from typing import Optional, Tuple
 
 import jax
@@ -113,6 +114,111 @@ def int8_conv(x: jnp.ndarray, w: jnp.ndarray, pad: Pad,
     return y.astype(jnp.float32) * (sx * sw)   # (B,1,1,1)·(1,1,1,O)
 
 
+# ---------------------------------------------------------------------------
+# Fully-quantized variant: backward convs on the int8 MXU too.
+#
+# ``int8_conv`` above quantizes only the FORWARD conv; its natively-derived
+# backward runs the cotangent in bf16 against the convert(s8) operand — a
+# mixed s8×bf16 conv that does NOT take the accelerated path, so the step is
+# backward-bound (measured 330.8 t/s vs AQT's 1031.6 at batch 144: dX+dW are
+# ~2/3 of the conv FLOPs). This variant hand-writes the VJP so BOTH backward
+# contractions also run s8×s8→bf16:
+#
+#   dx = conv(q(g) per-sample, flip(q(w) per-INPUT-channel))   [O contracted]
+#   dw = conv(xq stash, q(g·sx) per-tensor)                    [B contracted]
+#
+# Scale axes are forced by what the contraction leaves free: any scale on a
+# CONTRACTED dim cannot factor out, so dx re-quantizes w per-I (O is
+# contracted) and dw absorbs the per-sample activation scale into the
+# cotangent before a per-tensor quantization (B is contracted):
+#   dw = Σ_b (xq_b·sx_b) ⋆ g_b = Σ_b xq_b ⋆ (g_b·sx_b).
+# The backward dims are JAX's own transpose relabelings
+# (jax/_src/lax/convolution.py _conv_general_dilated_transpose_{lhs,rhs}
+# specialized to stride 1): zero data movement, XLA recognizes the
+# input-/weight-gradient conv forms. The round-3 lowering rule applies to
+# all three convs: clean convert(s8) operands with a bf16 OUTPUT (an f32
+# preferred_element_type blocks XLA's fold onto the s8 conv path — the
+# design-2 mistake that masked this variant's speed).
+#
+# Memory: the residual stashes the INT8 activations + per-sample scales
+# (4× smaller than an f32 stash) plus the small f32 weights.
+# ---------------------------------------------------------------------------
+
+_DN_DX = lax.ConvDimensionNumbers((0, 3, 1, 2), (2, 3, 0, 1), (0, 3, 1, 2))
+_DN_DW = lax.ConvDimensionNumbers((3, 0, 1, 2), (3, 0, 1, 2), (2, 3, 0, 1))
+
+
+def _q8s(t: jnp.ndarray, axes: Optional[Tuple[int, ...]]):
+    """absmax-quantize; returns (q int8 array, f32 scale), t ≈ q·scale."""
+    tf = t.astype(jnp.float32)
+    amax = jnp.max(jnp.abs(tf), axis=axes, keepdims=True)
+    scale = jnp.maximum(amax, 1e-30) * (1.0 / 127.0)
+    q = jnp.clip(jnp.round(tf * (1.0 / scale)), -127.0, 127.0)
+    return q.astype(jnp.int8), scale
+
+
+def _conv_q(a_s8, b_s8, pad: Pad, dn, out32: bool) -> jnp.ndarray:
+    """s8×s8 conv in the folded form (bf16 operands that are clean
+    convert(s8), bf16 output). out32: f32 operands/accumulator — the
+    bit-exact mode the integer tests pin the backward formulas with."""
+    dt = jnp.float32 if out32 else jnp.bfloat16
+    y = lax.conv_general_dilated(
+        a_s8.astype(dt), b_s8.astype(dt), (1, 1), pad,
+        dimension_numbers=dn,
+        preferred_element_type=jnp.float32 if out32 else None)
+    return y.astype(jnp.float32)
+
+
+def _int8_conv_full(x, w, pad: Pad, out32: bool):
+    xq, sx = _q8s(x, (1, 2, 3))
+    wq, sw = _q8s(w, (0, 1, 2))
+    dn = lax.conv_dimension_numbers(x.shape, w.shape, ("NHWC", "HWIO", "NHWC"))
+    return _conv_q(xq, wq, pad, dn, out32) * (sx * sw)
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(2, 3))
+def int8_conv_full(x: jnp.ndarray, w: jnp.ndarray, pad: Pad,
+                   out32: bool = False) -> jnp.ndarray:
+    """y = conv(x, w) with forward AND backward contractions int8-quantized
+    (straight-through estimator); x (B,H,W,I), w (kh,kw,I,O)."""
+    return _int8_conv_full(x, w, pad, out32)
+
+
+def _full_fwd(x, w, pad, out32):
+    xq, sx = _q8s(x, (1, 2, 3))
+    wq, sw = _q8s(w, (0, 1, 2))
+    dn = lax.conv_dimension_numbers(x.shape, w.shape, ("NHWC", "HWIO", "NHWC"))
+    y = _conv_q(xq, wq, pad, dn, out32) * (sx * sw)
+    return y, (xq, sx, w.astype(jnp.float32))
+
+
+def _full_bwd(pad: Pad, out32: bool, res, g):
+    xq, sx, w = res
+    k_h, k_w = w.shape[0], w.shape[1]
+    g = g.astype(jnp.float32)
+
+    # dx: O is contracted → cotangent per-sample, weights per-INPUT-channel
+    # (rhs spec (2,3,0,1) reads I as the output-feature dim).
+    gq, sg = _q8s(g, (1, 2, 3))
+    wq2, sw2 = _q8s(w, (0, 1, 3))                      # (1,1,I,1) scales
+    padT = ((k_h - 1 - pad[0][0], k_h - 1 - pad[0][1]),
+            (k_w - 1 - pad[1][0], k_w - 1 - pad[1][1]))
+    dx = _conv_q(gq, jnp.flip(wq2, (0, 1)), padT, _DN_DX, out32) \
+        * (sg * sw2.reshape(1, 1, 1, -1))
+
+    # dw: B is contracted (lhs spec (3,0,1,2) reads B as "channels") →
+    # absorb the per-sample activation scale into the cotangent, then
+    # per-tensor-quantize so the remaining scale factors out of the b-sum.
+    gpq, sgp = _q8s(g * sx, None)
+    pad_dw = ((pad[0][0], k_h - 1 - pad[0][0]),
+              (pad[1][0], k_w - 1 - pad[1][0]))
+    dw = _conv_q(xq, gpq, pad_dw, _DN_DW, out32) * sgp
+    return dx, dw
+
+
+int8_conv_full.defvjp(_full_fwd, _full_bwd)
+
+
 def _normalize_pad(padding, k_h: int, k_w: int) -> Optional[Pad]:
     if isinstance(padding, str):
         if padding.upper() == "SAME" and k_h % 2 == 1 and k_w % 2 == 1:
@@ -124,11 +230,12 @@ def _normalize_pad(padding, k_h: int, k_w: int) -> Optional[Pad]:
     return pad if len(pad) == 2 else None
 
 
-def int8_conv_fn():
+def int8_conv_fn(full: bool = False):
     """Drop-in ``lax.conv_general_dilated`` running supported convs through
     the fused int8 path (hook: models/layers.py:Conv via
-    ``model.quantization: int8_fused``); unsupported shapes fall back to the
-    full-precision conv unchanged."""
+    ``model.quantization: int8_fused`` — forward-only quantization — or
+    ``int8_full`` — backward contractions quantized too); unsupported shapes
+    fall back to the full-precision conv unchanged."""
 
     def conv(lhs, rhs, window_strides, padding, lhs_dilation=None,
              rhs_dilation=None, dimension_numbers=None,
@@ -158,7 +265,11 @@ def int8_conv_fn():
         pad = _normalize_pad(padding, rhs.shape[0], rhs.shape[1])
         if pad is None:
             return fallback()
-        out = int8_conv(lhs, rhs.astype(jnp.float32), pad)
+        if full:
+            out = int8_conv_full(lhs.astype(jnp.float32),
+                                 rhs.astype(jnp.float32), pad)
+        else:
+            out = int8_conv(lhs, rhs.astype(jnp.float32), pad)
         if preferred_element_type is not None:
             out = out.astype(preferred_element_type)
         return out

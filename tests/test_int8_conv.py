@@ -13,7 +13,7 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
-from sres_tpu.ops.int8_conv import int8_conv, int8_conv_fn
+from sres_tpu.ops.int8_conv import int8_conv, int8_conv_fn, int8_conv_full
 
 
 def _f32_conv(x, w, pad):
@@ -129,6 +129,78 @@ def test_fused_matches_aqt_envelope_in_model():
         losses[mode] = float(m["mloss"])
         assert np.isfinite(losses[mode])
     assert abs(losses["int8_fused"] - losses["int8"]) / losses["int8"] < 0.02
+
+
+@pytest.mark.parametrize("k,cin,cout", [(3, 8, 8), (1, 8, 4)])
+def test_full_exact_on_lossless_integer_data(k, cin, cout):
+    """int8_conv_full: with lossless integer operands (absmax exactly 127 on
+    every scale group) the hand-written int8 BACKWARD contractions must match
+    the f32 conv's jax.vjp EXACTLY — pins the dx transpose-flip padding and
+    the dw scale-absorption (g·sx per-tensor) bit-for-bit."""
+    rng = np.random.default_rng(7)
+    pad = ((k // 2,) * 2, (k // 2,) * 2)
+    x = jnp.asarray(_int_data(rng, (3, 6, 6, cin)))
+    w = jnp.asarray(_int_data(rng, (k, k, cin, cout), chan_axis_full="w"))
+    g = jnp.asarray(_int_data(rng, (3, 6, 6, cout)))
+
+    y, vjp = jax.vjp(lambda a, b: int8_conv_full(a, b, pad, True), x, w)
+    yr, vjpr = jax.vjp(lambda a, b: _f32_conv(a, b, pad), x, w)
+    np.testing.assert_array_equal(np.asarray(y), np.asarray(yr))
+    (dx, dw), (dxr, dwr) = vjp(g), vjpr(g)
+    np.testing.assert_array_equal(np.asarray(dx), np.asarray(dxr))
+    np.testing.assert_array_equal(np.asarray(dw), np.asarray(dwr))
+
+
+def test_full_approx_on_gaussian_data():
+    """Production (bf16-output) int8_conv_full stays within the quantization
+    envelope on gaussian data, forward and both backward contractions."""
+    rng = np.random.default_rng(8)
+    pad = ((1, 1), (1, 1))
+    x = jnp.asarray(rng.normal(size=(4, 8, 8, 16)).astype(np.float32))
+    w = jnp.asarray((rng.normal(size=(3, 3, 16, 16)) * 0.1).astype(np.float32))
+    g = jnp.asarray(rng.normal(size=(4, 8, 8, 16)).astype(np.float32))
+
+    y, vjp = jax.vjp(lambda a, b: int8_conv_full(a, b, pad), x, w)
+    yr, vjpr = jax.vjp(lambda a, b: _f32_conv(a, b, pad), x, w)
+
+    def relerr(a, b):
+        a, b = np.asarray(a), np.asarray(b)
+        return np.linalg.norm(a - b) / np.linalg.norm(b)
+
+    assert relerr(y, yr) < 0.03
+    (dx, dw), (dxr, dwr) = vjp(g), vjpr(g)
+    assert relerr(dx, dxr) < 0.04
+    assert relerr(dw, dwr) < 0.04
+
+
+def test_int8_full_model_step_runs():
+    """model.quantization=int8_full trains a tiny RCAN step; loss is finite
+    and within the fused path's envelope."""
+    import optax
+    from sres_tpu.models import build_model
+    from sres_tpu.trainer.step import StepConfig, build_train_step, init_state
+
+    losses = {}
+    for mode in ("int8_fused", "int8_full"):
+        mcfg = dict(name="rcan", nfeatures=8, nlayers=1, nblocks=2,
+                    cbottleneck=2, kernel_size=3, downscale_factors=[2, 2],
+                    quantization=mode)
+        model = build_model(mcfg, 1, 1, precision="f32")
+        opt = optax.adam(1e-3)
+        state, has_bn = init_state(model, opt,
+                                   jnp.zeros((1, 12, 12, 1), jnp.float32), seed=0)
+        sc = StepConfig(scale=4, downscale_factors=(2, 2), down_mode="bicubic",
+                        up_mode="bicubic", loss_fn="l2", data_downsample=1.0,
+                        target_idx=(0,), nchannels_in=1, has_bn=has_bn)
+        step = build_train_step(model, opt, sc, mesh=None)
+        rng = np.random.default_rng(9)
+        hr = jnp.asarray(rng.normal(size=(4, 1, 48, 48)).astype(np.float32))
+        wt = jnp.ones((4,), jnp.float32)
+        state, m = step(state, hr, wt)
+        losses[mode] = float(m["mloss"])
+        assert np.isfinite(losses[mode])
+    assert abs(losses["int8_full"] - losses["int8_fused"]) \
+        / losses["int8_fused"] < 0.05
 
 
 def test_remat_trunk_identical_tree_and_math():
