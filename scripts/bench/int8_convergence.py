@@ -8,8 +8,10 @@ data order (same --seed):
 
   f32          — full-precision reference arm
   int8         — AQT-quantized trunk, quantized training end-to-end
-  int8_fused   — the lean custom-VJP path (ops/int8_conv.py), quantized
-                 training end-to-end
+  int8_fused   — the lean forward-quantized path (ops/int8_conv.py),
+                 quantized training end-to-end
+  int8_full    — int8_fused plus int8 BACKWARD contractions (the training
+                 speed path; adds gradient quantization noise)
   serve arms   — the f32-trained best-val checkpoint EVALUATED with the
                  int8 / int8_fused forward (train-bf16-serve-int8, the
                  recommended deployment)
@@ -116,14 +118,20 @@ def main():
     p.add_argument("--seed", type=int, default=42)
     p.add_argument("--nfeatures", type=int, default=16)
     p.add_argument("--plateau-window", type=int, default=5)
+    p.add_argument("--arms", type=str, default="f32,int8,int8_fused,int8_full",
+                   help="comma list of arms to train (f32 is always the "
+                        "control and must be included); serve arms run for "
+                        "every non-f32 arm listed")
     a = p.parse_args()
 
     psnr = lambda l: round(-20.0 * math.log10(max(l, 1e-12)), 3)
     out = {"nepochs": a.nepochs, "seed": a.seed, "nfeatures": a.nfeatures,
            "arms": {}}
+    arms = [s.strip() for s in a.arms.split(",") if s.strip()]
+    assert "f32" in arms, "--arms must include the f32 control"
     roots = {}
-    for arm, quant in [("f32", None), ("int8", "int8"),
-                       ("int8_fused", "int8_fused")]:
+    for arm in arms:
+        quant = None if arm == "f32" else arm
         roots[arm] = tempfile.mkdtemp(prefix=f"conv_{arm}_")
         r = train_arm(roots[arm], quant, a.nepochs, a.seed, a.nfeatures)
         w = a.plateau_window
@@ -137,7 +145,8 @@ def main():
         out["arms"][arm] = r
 
     f32 = out["arms"]["f32"]
-    for arm in ("int8", "int8_fused"):
+    qarms = [x for x in arms if x != "f32"]
+    for arm in qarms:
         e, lvl = detach_epoch(f32["train_traj"], out["arms"][arm]["train_traj"])
         out["arms"][arm]["detach_epoch"] = e
         out["arms"][arm]["detach_loss_level"] = lvl
@@ -150,7 +159,7 @@ def main():
     out["serve"] = {}
     f32_serve = serve_arm(roots["f32"], None, a.seed, a.nfeatures)
     out["serve"]["f32"] = f32_serve
-    for quant in ("int8", "int8_fused"):
+    for quant in qarms:
         s = serve_arm(roots["f32"], quant, a.seed, a.nfeatures)
         s["delta_vs_f32_serve"] = round(s["val"] - f32_serve["val"], 5)
         s["rel_delta"] = round(s["delta_vs_f32_serve"] / max(f32_serve["val"], 1e-12), 4)
