@@ -33,9 +33,11 @@ class RCAN(nn.Module):
     lane_pack: int = 1        # tiles packed per image in the trunk (PERF.md)
     quantization: Optional[str] = None  # 'int8': AQT trunk convs (opt-in,
     # changes numerics; head/tail/upsampler/CA stay full precision)
-    remat_trunk: Optional[bool] = None  # checkpoint each residual group
-    # (memory lever for very large batches; off by default — the int8_fused
-    # path uses native autodiff, so XLA rematerializes freely on its own).
+    remat_trunk: Optional[bool] = None  # checkpoint each residual group.
+    # None = auto: ON for int8_full (its custom VJP stashes per-conv int8
+    # activations — ~9 GB at batch 144 without remat, which blows HBM and
+    # measured 297 t/s; group remat keeps only per-group inputs), OFF
+    # otherwise (int8_fused uses native autodiff, XLA remats freely).
     dtype: Optional[Any] = None
 
     @nn.compact
@@ -55,7 +57,8 @@ class RCAN(nn.Module):
             x = jnp.concatenate([x, jnp.zeros((bpad,) + x.shape[1:], x.dtype)], 0)
         res = pack_tiles(x, pk) if pk > 1 else x
         skip = res
-        remat = bool(self.remat_trunk)
+        remat = (self.quantization == "int8_full" if self.remat_trunk is None
+                 else bool(self.remat_trunk))
         group_cls = nn.remat(ResidualGroup) if remat else ResidualGroup
         for i in range(self.nlayers):
             if self.fused and pk == 2:

@@ -231,9 +231,11 @@ def test_remat_trunk_identical_tree_and_math():
                                    rtol=1e-5, atol=1e-5)
 
 
-def test_int8_fused_sharded_step_runs():
-    """The int8_fused train step compiles and runs data-sharded over the
-    virtual 8-device mesh (custom VJP + group remat + GSPMD compose)."""
+@pytest.mark.parametrize("quant", ["int8_fused", "int8_full"])
+def test_int8_fused_sharded_step_runs(quant):
+    """The int8_fused/int8_full train step compiles and runs data-sharded
+    over the virtual 8-device mesh (custom VJP + group remat + GSPMD
+    compose — int8_full auto-enables per-group remat)."""
     import jax
     import optax
     from jax.sharding import Mesh
@@ -242,7 +244,7 @@ def test_int8_fused_sharded_step_runs():
 
     mcfg = dict(name="rcan", nfeatures=8, nlayers=1, nblocks=2, cbottleneck=2,
                 kernel_size=3, downscale_factors=[2, 2],
-                quantization="int8_fused")
+                quantization=quant)
     model = build_model(mcfg, 1, 1, precision="f32")
     opt = optax.adam(1e-3)
     state, has_bn = init_state(model, opt, jnp.zeros((1, 12, 12, 1), jnp.float32),
