@@ -66,7 +66,8 @@ def main() -> None:
                         "sitecustomize overrides JAX_PLATFORMS)")
     p.add_argument("--int8", action="store_true",
                    help="opt-in AQT int8 trunk convs (model.quantization: "
-                        "int8) — changes numerics, serving-oriented")
+                        "int8) — SERVING-ONLY (requires --eval or --serve; "
+                        "AQT's conv blocks gradients, see PERF.md round 3)")
     p.add_argument("--int8-fused", action="store_true", dest="int8_fused",
                    help="the lean forward-quantized int8 path "
                         "(model.quantization: int8_fused, ops/int8_conv.py) "
@@ -80,6 +81,11 @@ def main() -> None:
                         "(lax.scan over K staged batches) — amortizes "
                         "host-dispatch latency; steps must divide by K")
     args = p.parse_args()
+    if args.int8 and not (args.eval or args.serve):
+        p.error("--int8 (AQT) is serving-only — its conv blocks gradients "
+                "(trunk never trains; PERF.md round 3). Use --int8 with "
+                "--eval/--serve, or --int8-fused / --int8-full for "
+                "quantized TRAINING throughput.")
 
     import jax
     if args.cpu:
@@ -259,11 +265,15 @@ def main() -> None:
                 "reproduce": "python scripts/bench/baseline_ab.py",
             },
             "opt_in_int8_measured": {
-                # separately measured on this chip (PERF.md, 2026-08-16/17);
-                # not re-run here: model.quantization=int8 (AQT trunk convs,
-                # serving-quality-neutral, training numerics differ)
-                "train": 1031.6, "eval": 1300.0, "serve": 1304.7,  # batch 144
-                "reproduce": "python bench.py --int8 [--eval|--serve]",
+                # separately measured on this chip (PERF.md); serving via AQT
+                # (model.quantization=int8) is quality-neutral. NOTE round 3
+                # RETRACTED the round-2 "int8 train 1031.6": AQT's conv
+                # blocks gradients (trunk frozen) — that step never computed
+                # a trunk backward. Honest quantized TRAINING runs through
+                # int8_fused/int8_full (STE, converges like f32).
+                "train_int8_fused": 330.8, "eval": 1300.0, "serve": 1304.7,
+                "reproduce": "python bench.py --int8-fused | "
+                             "--int8 --eval | --int8 --serve",
             },
         },
     }))

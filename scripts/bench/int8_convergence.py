@@ -7,7 +7,11 @@ trains the seeded synthetic task to plateau in four arms with IDENTICAL
 data order (same --seed):
 
   f32          — full-precision reference arm
-  int8         — AQT-quantized trunk, quantized training end-to-end
+  int8         — AQT-quantized trunk (HISTORICAL arm: round 3 found AQT's
+                 conv blocks gradients — the trunk stays frozen at init,
+                 which is what this arm's +27%/−2.1 dB measured; the
+                 trainer now refuses quantization='int8', so this arm only
+                 runs via --arms for archaeology)
   int8_fused   — the lean forward-quantized path (ops/int8_conv.py),
                  quantized training end-to-end
   int8_full    — int8_fused plus int8 BACKWARD contractions (the training
@@ -118,7 +122,7 @@ def main():
     p.add_argument("--seed", type=int, default=42)
     p.add_argument("--nfeatures", type=int, default=16)
     p.add_argument("--plateau-window", type=int, default=5)
-    p.add_argument("--arms", type=str, default="f32,int8,int8_fused,int8_full",
+    p.add_argument("--arms", type=str, default="f32,int8_fused,int8_full",
                    help="comma list of arms to train (f32 is always the "
                         "control and must be included); serve arms run for "
                         "every non-f32 arm listed")

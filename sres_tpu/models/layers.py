@@ -27,6 +27,16 @@ torch_kernel_init = jax.nn.initializers.variance_scaling(1.0 / 3.0, "fan_in", "u
 _AQT_CONV = None
 
 
+_AQT_SERVING_ONLY_MSG = (
+    "model.quantization: 'int8' (AQT) is SERVING-ONLY: AQT's "
+    "conv_general_dilated_make returns the raw forward building block, whose "
+    "round/clip has zero gradient — trunk weight gradients silently vanish "
+    "(discovered round 3; the round-2 'int8 train' throughput never computed "
+    "a trunk backward). Use 'int8_fused' or 'int8_full' for quantized "
+    "training (ops/int8_conv.py — straight-through estimator, converges "
+    "like f32 per PERF.md).")
+
+
 def aqt_conv_fn():
     """Drop-in ``lax.conv_general_dilated`` that dynamically quantizes both
     operands to int8 (absmax; weights per-output-channel, activations
@@ -34,14 +44,34 @@ def aqt_conv_fn():
     394 TOPS peak vs 197 bf16 — measured 1.38 vs 3.93 ms/conv like-for-like,
     scripts/bench/micro_aqt.py). Opt-in via ``model.quantization: int8``;
     changes numerics (~1.4% relative error per conv) so it is never a
-    default."""
+    default.
+
+    SERVING-ONLY: AQT's raw conv block has zero gradient through its
+    round/clip (no STE), so a trunk behind it silently stops training.
+    Differentiating through this wrapper raises instead (round-3 fix);
+    quantized training goes through 'int8_fused'/'int8_full'."""
     global _AQT_CONV
     if _AQT_CONV is None:
         from aqt.jax.v2 import config as aqt_config
         from aqt.jax.v2.aqt_conv_general import make_conv_general_dilated
         _AQT_CONV = make_conv_general_dilated(
             aqt_config.conv_general_dilated_make(2, lhs_bits=8, rhs_bits=8))
-    return _AQT_CONV
+
+    def conv(lhs, rhs, *args, **kwargs):
+        @jax.custom_vjp
+        def _serving(a, b):
+            return _AQT_CONV(a, b, *args, **kwargs)
+
+        def _fwd(a, b):  # traced only under differentiation
+            raise NotImplementedError(_AQT_SERVING_ONLY_MSG)
+
+        def _bwd(res, g):
+            raise NotImplementedError(_AQT_SERVING_ONLY_MSG)
+
+        _serving.defvjp(_fwd, _bwd)
+        return _serving(lhs, rhs)
+
+    return conv
 
 
 def quant_conv_fn(quant: Optional[str]):

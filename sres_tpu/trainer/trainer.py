@@ -278,6 +278,9 @@ class ModelTrainer:
     def train(self, nepochs: int, refresh_state: bool = False, **kwargs) -> Dict[str, float]:
         if nepochs == 0:
             return {}
+        if cfg().model.get("quantization") == "int8":
+            from sres_tpu.models.layers import _AQT_SERVING_ONLY_MSG
+            raise ValueError(_AQT_SERVING_ONLY_MSG)
         from sres_tpu.parallel.mesh import sync_seed
         seed = sync_seed(kwargs.get("seed", 4456))
         # NOTE: the reference's interp_loss kwarg gates the bicubic baseline;

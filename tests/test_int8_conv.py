@@ -103,32 +103,26 @@ def test_wrapper_fallback_and_dispatch():
 
 
 def test_fused_matches_aqt_envelope_in_model():
-    """model.quantization=int8_fused trains: a tiny RCAN step runs, loss is
-    finite and close to the AQT int8 step's loss (same scale structure)."""
-    import optax
+    """model.quantization=int8_fused's FORWARD stays close to the AQT int8
+    forward on the same weights (same scale structure: per-sample
+    activations, per-output-channel weights). AQT is serving-only, so the
+    comparison is forward-to-forward."""
+    import jax
     from sres_tpu.models import build_model
-    from sres_tpu.trainer.step import StepConfig, build_train_step, init_state
 
-    losses = {}
+    outs = {}
     for mode in ("int8", "int8_fused"):
         mcfg = dict(name="rcan", nfeatures=8, nlayers=1, nblocks=2,
                     cbottleneck=2, kernel_size=3, downscale_factors=[2, 2],
                     quantization=mode)
         model = build_model(mcfg, 1, 1, precision="f32")
-        opt = optax.adam(1e-3)
-        state, has_bn = init_state(model, opt,
-                                   jnp.zeros((1, 12, 12, 1), jnp.float32), seed=0)
-        sc = StepConfig(scale=4, downscale_factors=(2, 2), down_mode="bicubic",
-                        up_mode="bicubic", loss_fn="l2", data_downsample=1.0,
-                        target_idx=(0,), nchannels_in=1, has_bn=has_bn)
-        step = build_train_step(model, opt, sc, mesh=None)
-        rng = np.random.default_rng(3)
-        hr = jnp.asarray(rng.normal(size=(4, 1, 48, 48)).astype(np.float32))
-        w = jnp.ones((4,), jnp.float32)
-        state, m = step(state, hr, w)
-        losses[mode] = float(m["mloss"])
-        assert np.isfinite(losses[mode])
-    assert abs(losses["int8_fused"] - losses["int8"]) / losses["int8"] < 0.02
+        x = jnp.asarray(np.random.default_rng(3).normal(size=(4, 12, 12, 1))
+                        .astype(np.float32))
+        v = model.init(jax.random.PRNGKey(0), x, train=False)
+        outs[mode] = np.asarray(model.apply(v, x, train=False))
+    rel = (np.linalg.norm(outs["int8_fused"] - outs["int8"])
+           / np.linalg.norm(outs["int8"]))
+    assert rel < 0.02, rel
 
 
 @pytest.mark.parametrize("k,cin,cout", [(3, 8, 8), (1, 8, 4)])

@@ -124,8 +124,10 @@ def test_edsr_lane_pack_equivalence():
 def test_int8_quantized_trunk():
     """model.quantization: int8 (opt-in AQT path, ROADMAP #5): same param
     tree as the full-precision model, forward within int8 quantization
-    tolerance of it, finite gradients, and works through the lane-packed
-    trunk. Serving-oriented — numerics intentionally differ at ~1e-2."""
+    tolerance of it, and works through the lane-packed trunk. SERVING-ONLY
+    (round 3): differentiating through the AQT conv raises — its raw
+    round/clip has no STE, so trunk gradients would silently vanish."""
+    import pytest
     import jax
     import jax.numpy as jnp
     mcfg = dict(name="rcan", nfeatures=16, nlayers=2, nblocks=2,
@@ -148,14 +150,15 @@ def test_int8_quantized_trunk():
     y_qp = np.asarray(m_qp.apply(v, x, train=False))
     rel_pk = np.linalg.norm(y_qp - y_fp) / np.linalg.norm(y_fp)
     assert rel_pk < 0.05, rel_pk
-    g = jax.grad(lambda v: jnp.sum(m_q.apply(v, x, train=False) ** 2))(v)
-    assert all(bool(jnp.isfinite(l).all()) for l in jax.tree.leaves(g))
+    with pytest.raises(NotImplementedError, match="SERVING-ONLY"):
+        jax.grad(lambda v: jnp.sum(m_q.apply(v, x, train=False) ** 2))(v)
 
 
 def test_int8_quantized_vdsr():
     """quantization: int8 also covers the VDSR conv stack (BasicBlock
-    threading); same param tree, quantization-tolerance forward, finite
-    grads."""
+    threading); same param tree, quantization-tolerance forward; serving-
+    only (grads raise, see test_int8_quantized_trunk)."""
+    import pytest
     import jax
     import jax.numpy as jnp
     mcfg = dict(name="vdsr", nfeatures=16, nlayers=4, kernel_size=3,
@@ -170,15 +173,17 @@ def test_int8_quantized_vdsr():
     y_q = np.asarray(m_q.apply(v, x, train=False))
     rel = np.linalg.norm(y_q - y_fp) / np.linalg.norm(y_fp)
     assert 0 < rel < 0.05, rel
-    g = jax.grad(lambda v: jnp.sum(m_q.apply(v, x, train=False) ** 2))(v)
-    assert all(bool(jnp.isfinite(l).all()) for l in jax.tree.leaves(g))
+    with pytest.raises(NotImplementedError, match="SERVING-ONLY"):
+        jax.grad(lambda v: jnp.sum(m_q.apply(v, x, train=False) ** 2))(v)
 
 
-def test_int8_training_tracks_f32():
-    """Regression for the measured int8-training property (PERF.md): over
-    short horizons the quantized trajectory tracks f32 closely (the
-    divergence only appears near convergence). 20 Adam steps on identical
-    data: per-step loss gap < 5e-3."""
+def test_int8_fused_training_tracks_f32():
+    """Regression for the measured quantized-training property (PERF.md):
+    over short horizons the int8_fused STE trajectory tracks f32 closely
+    (divergence only appears near convergence). 20 Adam steps on identical
+    data: per-step loss gap < 5e-3. (The AQT 'int8' mode is serving-only —
+    round 3 found its conv blocks gradients, so the former version of this
+    test was tracking a frozen-trunk run.)"""
     import jax
     import jax.numpy as jnp
     import optax
@@ -186,7 +191,7 @@ def test_int8_training_tracks_f32():
     from sres_tpu.trainer.step import StepConfig, build_train_step, init_state
 
     losses = {}
-    for quant in (None, "int8"):
+    for quant in (None, "int8_fused"):
         mcfg = dict(name="rcan", nfeatures=8, nlayers=1, nblocks=2,
                     cbottleneck=2, kernel_size=3, downscale_factors=[2, 2],
                     loss_fn="l2", quantization=quant)
@@ -206,6 +211,6 @@ def test_int8_training_tracks_f32():
             state, m = step(state, hr, w)
             ls.append(float(m["mloss"]))
         losses[str(quant)] = np.array(ls)
-    gap = np.abs(losses["None"] - losses["int8"])
-    assert losses["int8"][-1] < losses["int8"][0]      # it trains
+    gap = np.abs(losses["None"] - losses["int8_fused"])
+    assert losses["int8_fused"][-1] < losses["int8_fused"][0]  # it trains
     assert gap.max() < 5e-3, gap.max()                 # and tracks f32
