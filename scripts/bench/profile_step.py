@@ -92,6 +92,7 @@ def main():
     p.add_argument("--cpu", action="store_true")
     p.add_argument("--int8", action="store_true")
     p.add_argument("--int8-fused", action="store_true", dest="int8_fused")
+    p.add_argument("--int8-full", action="store_true", dest="int8_full")
     p.add_argument("--steps", type=int, default=3)
     p.add_argument("--batch", type=int, default=72)
     p.add_argument("--lane_pack", type=int, default=2)
@@ -113,7 +114,8 @@ def main():
     mcfg = dict(name="rcan", nfeatures=args.nfeatures, nlayers=args.nlayers,
                 nblocks=args.nblocks, cbottleneck=2, kernel_size=3,
                 downscale_factors=[2, 2], loss_fn="l2", lane_pack=args.lane_pack,
-                quantization=("int8_fused" if args.int8_fused
+                quantization=("int8_full" if args.int8_full
+                              else "int8_fused" if args.int8_fused
                               else "int8" if args.int8 else None))
     model = build_model(mcfg, 1, 1, precision="f32" if args.cpu else "bf16")
     optimizer = optax.adam(1e-4)
@@ -140,7 +142,8 @@ def main():
 
     totals, nops, sources = parse_perfetto(tdir)
     total = sum(totals.values())
-    mode = ("int8_fused" if args.int8_fused else
+    mode = ("int8_full" if args.int8_full else
+            "int8_fused" if args.int8_fused else
             "int8" if args.int8 else ("f32" if args.cpu else "bf16"))
     print(f"\n{args.steps} steps, batch {args.batch}, {mode}, "
           f"lane_pack {args.lane_pack}; loss {loss:.4f}; "
