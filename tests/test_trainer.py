@@ -117,3 +117,21 @@ def test_fresh_run_without_refresh_trains(tmp_path):
         trainer.train(nepochs=1, refresh_state=False, seed=0)
         recs = [r for r in trainer.results_accum.results if r.tset == TSet.Train]
         assert len(recs) == 3  # 3 train timeslices x 1 epoch
+
+
+def test_aqt_int8_training_refused(tmp_path):
+    """model.quantization: 'int8' (AQT) is serving-only — round 3 found its
+    conv blocks gradients (frozen trunk), so ModelTrainer.train refuses it
+    up front with a pointer to int8_fused/int8_full."""
+    import pytest
+    with synth_ctx(tmp_path, model="rcan-10-10-64",
+                   **{"model.nblocks": 2, "model.quantization": "int8",
+                      "model.lane_pack": 1}) as cc:
+        trainer = ModelTrainer(cc, seed=0)
+        with pytest.raises(ValueError, match="SERVING-ONLY"):
+            trainer.train(nepochs=1, refresh_state=True, seed=0)
+        # the serving path (evaluate) still works with the AQT forward
+        trainer.dataset.load_timeslice(0)
+        _, losses = trainer.evaluate(TSet.Validation, update_model=False,
+                                     update_checkpoint=False)
+        assert np.isfinite(losses["model"])
