@@ -75,11 +75,39 @@ def main():
         return (y.astype(jnp.float32) * (sg * sw.reshape(1, 1, 1, -1))
                 ).astype(jnp.bfloat16)
 
+    def dx_std_form(g, w):
+        """dx as a STANDARD forward-form conv: flip+transpose the weights
+        first, then quantize — both operands are clean convert(s8) in the
+        exact NHWC/HWIO shape the accelerated forward uses."""
+        gq, sg = q8(g, (1, 2, 3))
+        wt = jnp.transpose(jnp.flip(w, (0, 1)), (0, 1, 3, 2))  # (K,K,O,I)
+        wtq, swt = q8(wt, (0, 1, 2))                           # per-"O"(=I)
+        dn = lax.conv_dimension_numbers((B, H, W, C), (K, K, C, C),
+                                        ("NHWC", "HWIO", "NHWC"))
+        y = lax.conv_general_dilated(
+            gq.astype(jnp.bfloat16), wtq.astype(jnp.bfloat16),
+            (1, 1), pad1, dimension_numbers=dn)
+        return (y.astype(jnp.float32) * (sg * swt.reshape(1, 1, 1, -1))
+                ).astype(jnp.bfloat16)
+
+    def fwd_int8_control(g, w):
+        """the known-accelerated standard int8 forward form, same harness."""
+        gq, sg = q8(g, (1, 2, 3))
+        wq, sw = q8(w, (0, 1, 2))
+        dn = lax.conv_dimension_numbers((B, H, W, C), (K, K, C, C),
+                                        ("NHWC", "HWIO", "NHWC"))
+        y = lax.conv_general_dilated(
+            gq.astype(jnp.bfloat16), wq.astype(jnp.bfloat16),
+            (1, 1), pad1, dimension_numbers=dn)
+        return (y.astype(jnp.float32) * sg).astype(jnp.bfloat16)
+
     g0 = jnp.asarray(rng.normal(size=(B, H, W, C)), jnp.bfloat16)
     ws = jnp.asarray(rng.normal(size=(NCONV, K, K, C, C)) * 0.05, jnp.bfloat16)
 
-    for label, fn in [("dx_bf16", dx_bf16), ("dx_flip_after", dx_flip_after),
-                      ("dx_flip_before", dx_flip_before)]:
+    for label, fn in [("fwd_int8_ctrl", fwd_int8_control),
+                      ("dx_bf16", dx_bf16), ("dx_flip_after", dx_flip_after),
+                      ("dx_flip_before", dx_flip_before),
+                      ("dx_std_form", dx_std_form)]:
         def chain(g):
             def body(i, acc):
                 w = lax.dynamic_index_in_dim(ws, i % NCONV, 0, keepdims=False)
@@ -112,7 +140,25 @@ def main():
             (1, 1), pad_dw, dimension_numbers=_DN_DW)
         return (y.astype(jnp.float32) * sg).astype(jnp.float32)
 
-    for label, fn in [("dw_bf16", dw_bf16), ("dw_int8", dw_int8)]:
+    def dw_tapdot_int8(x, g):
+        """dw as 9 per-tap s8×s8 dot_generals (the canonical int8-MXU op)
+        instead of a 48×48-window conv: dw[kh,kw,i,o] = x_shift·g over BHW."""
+        xq, sx = q8(x, (1, 2, 3))
+        gq, sg = q8(g * sx, None)
+        xp = jnp.pad(xq.astype(jnp.bfloat16),
+                     ((0, 0), (1, 1), (1, 1), (0, 0)))
+        gm = gq.astype(jnp.bfloat16).reshape(-1, C)
+        taps = []
+        for kh in range(K):
+            for kw in range(K):
+                xs = xp[:, kh:kh + H, kw:kw + W, :].reshape(-1, C)
+                taps.append(jax.lax.dot_general(
+                    xs, gm, (((0,), (0,)), ((), ()))))   # (C_in, C_out)
+        dw = jnp.stack(taps, 0).reshape(K, K, C, C)
+        return dw.astype(jnp.float32) * sg
+
+    for label, fn in [("dw_bf16", dw_bf16), ("dw_int8", dw_int8),
+                      ("dw_tapdot_int8", dw_tapdot_int8)]:
         def chain(g):
             def body(i, carry):
                 gg, acc = carry

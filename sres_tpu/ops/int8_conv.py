@@ -193,26 +193,50 @@ def _full_fwd(x, w, pad, out32):
 
 
 def _full_bwd(pad: Pad, out32: bool, res, g):
+    """Backward contractions in the two forms the TPU backend accelerates
+    (the naive relabeled-dim dx conv and 48×48-window dw conv measured at
+    bf16 speed — PERF.md round 3):
+
+    dx as a STANDARD forward-form conv: flip+transpose the weights FIRST,
+    then quantize, so both operands are clean convert(s8) producers in the
+    exact NHWC/HWIO shape of the accelerated forward. The transposed pad
+    (k−1−p) makes conv(g, flipᵀ(w)) the exact input-gradient.
+
+    dw as k·k per-tap s8×s8 dot_generals (the canonical int8-MXU op):
+    dw[kh,kw,i,o] = Σ_{b,h,w} x[b,h+kh−p,w+kw−p,i]·g[b,h,w,o] — each tap a
+    (BHW,I)ᵀ(BHW,O) matmul over shifted slices of the padded int8 stash."""
     xq, sx, w = res
     k_h, k_w = w.shape[0], w.shape[1]
     g = g.astype(jnp.float32)
 
-    # dx: O is contracted → cotangent per-sample, weights per-INPUT-channel
-    # (rhs spec (2,3,0,1) reads I as the output-feature dim).
+    # dx: O contracted. Per-I weight scales survive (I is dx's channel dim);
+    # quantize AFTER the flip+transpose so the conv sees clean operands.
     gq, sg = _q8s(g, (1, 2, 3))
-    wq2, sw2 = _q8s(w, (0, 1, 3))                      # (1,1,I,1) scales
+    wt = jnp.transpose(jnp.flip(w, (0, 1)), (0, 1, 3, 2))   # (kh,kw,O,I)
+    wtq, swt = _q8s(wt, (0, 1, 2))                          # (1,1,1,I)
     padT = ((k_h - 1 - pad[0][0], k_h - 1 - pad[0][1]),
             (k_w - 1 - pad[1][0], k_w - 1 - pad[1][1]))
-    dx = _conv_q(gq, jnp.flip(wq2, (0, 1)), padT, _DN_DX, out32) \
-        * (sg * sw2.reshape(1, 1, 1, -1))
+    dn = lax.conv_dimension_numbers(gq.shape, wtq.shape,
+                                    ("NHWC", "HWIO", "NHWC"))
+    dx = _conv_q(gq, wtq, padT, dn, out32) * (sg * swt)
 
-    # dw: B is contracted (lhs spec (3,0,1,2) reads B as "channels") →
-    # absorb the per-sample activation scale into the cotangent, then
-    # per-tensor-quantize so the remaining scale factors out of the b-sum.
+    # dw: B contracted → absorb the per-sample activation scale into the
+    # cotangent, per-tensor-quantize so the remaining scale factors out.
     gpq, sgp = _q8s(g * sx, None)
-    pad_dw = ((pad[0][0], k_h - 1 - pad[0][0]),
-              (pad[1][0], k_w - 1 - pad[1][0]))
-    dw = _conv_q(xq, gpq, pad_dw, _DN_DW, out32) * sgp
+    cin, cout = w.shape[2], w.shape[3]
+    bsz, hh, ww = g.shape[0], g.shape[1], g.shape[2]
+    dt = jnp.float32 if out32 else jnp.bfloat16
+    xp = jnp.pad(xq.astype(dt), ((0, 0), pad[0], pad[1], (0, 0)))
+    gm = gpq.astype(dt).reshape(-1, cout)
+    taps = []
+    for kh in range(k_h):
+        for kw in range(k_w):
+            xs = xp[:, kh:kh + hh, kw:kw + ww, :].reshape(-1, cin)
+            taps.append(lax.dot_general(
+                xs, gm, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32 if out32 else None))
+    dw = jnp.stack(taps, 0).reshape(k_h, k_w, cin, cout).astype(jnp.float32) \
+        * sgp
     return dx, dw
 
 
