@@ -27,13 +27,17 @@ from sres_tpu.util.logging import lgm
 TimeType = Union[int]
 
 
-def xyflip(batch: LArray, rng: np.random.Generator, enabled: bool) -> LArray:
+def xyflip(batch: LArray, rng: np.random.Generator, enabled: bool,
+           flip_index: Optional[int] = None) -> LArray:
     """Random 8-way dihedral augmentation over the last two axes
-    (reference: source/batch.py:37-49). The flip index is recorded in attrs."""
-    flip_index = 0
+    (reference: source/batch.py:37-49). The flip index is recorded in attrs.
+    ``flip_index`` overrides the sequential RNG draw — used by the grain
+    input backend, where worker threads would race the shared generator."""
     data = batch.data
-    if enabled:
-        flip_index = int(rng.integers(0, 8))
+    if not enabled:
+        flip_index = 0
+    else:
+        flip_index = int(rng.integers(0, 8)) if flip_index is None else int(flip_index)
         if flip_index % 2 == 1:
             data = np.flip(data, axis=-1)
         if (flip_index // 2) % 2 == 1:
@@ -88,7 +92,8 @@ class SRBatch:
     def load_global_timeslice(self, vid: str, **kwargs) -> np.ndarray:
         return self.data_loader.load_global_timeslice(vid, **kwargs)
 
-    def load_batch(self, ctile: Dict[str, int], ctime: TimeType) -> Optional[LArray]:
+    def load_batch(self, ctile: Dict[str, int], ctime: TimeType,
+                   flip_index: Optional[int] = None) -> Optional[LArray]:
         if self.batch_domain == batchDomain.Time:
             index_range = (ctime, ctime + self.batch_size)
             darray = self.data_loader.load_index_batch(ctile, index_range)
@@ -100,10 +105,12 @@ class SRBatch:
             return None
         if self.channels is None:
             self.channels = list(darray.coords["channels"])
-        return xyflip(darray, self.rng, bool(cfg().task.get("xyflip", False)))
+        return xyflip(darray, self.rng, bool(cfg().task.get("xyflip", False)),
+                      flip_index=flip_index)
 
-    def load(self, ctile: Dict[str, int], ctime: TimeType) -> Optional[LArray]:
-        cbatch = self.load_batch(ctile, ctime)
+    def load(self, ctile: Dict[str, int], ctime: TimeType,
+             flip_index: Optional[int] = None) -> Optional[LArray]:
+        cbatch = self.load_batch(ctile, ctime, flip_index=flip_index)
         if cbatch is not None:
             self.current_batch = cbatch
         return cbatch
@@ -122,10 +129,21 @@ class BatchDataset:
         self.batch_domain = batchDomain.from_config(task.get("batch_domain", "tiles"))
         self.srbatch = SRBatch(task, self.tile_size, seed=seed, **kwargs)
         self.rng = np.random.default_rng(seed)
+        self._seed = int(seed)
 
     def reseed(self, seed: int) -> None:
         self.rng = np.random.default_rng(seed)
         self.srbatch.reseed(seed + 1)
+        self._seed = int(seed)
+
+    def flip_index_for(self, ctime: TimeType, ctile: Dict[str, int]) -> int:
+        """Deterministic per-tile xyflip index for parallel input backends
+        (grain): derived from (seed, ctime, ctile) so it is stable under any
+        worker count/order, unlike the sequential `srbatch.rng` draw."""
+        key = [self._seed & 0xFFFFFFFF, int(ctime) & 0xFFFFFFFF]
+        for k in sorted(ctile):
+            key.append(int(ctile[k]) & 0xFFFFFFFF)
+        return int(np.random.default_rng(key).integers(0, 8))
 
     def scale_coords(self, c: Dict[str, int]) -> Dict[str, int]:
         return {k: v * self.scalefactor for k, v in c.items()}
@@ -135,10 +153,11 @@ class BatchDataset:
         return [input_vars.index(ch) for ch in channels]
 
     def get_batch_array(self, ctile: Dict[str, int], ctime: TimeType,
-                        rescale: bool = True, **kwargs) -> Optional[LArray]:
+                        rescale: bool = True, flip_index: Optional[int] = None,
+                        **kwargs) -> Optional[LArray]:
         if self.batch_domain == batchDomain.Time and rescale:
             ctile = self.scale_coords(ctile)
-        return self.srbatch.load(ctile, ctime)
+        return self.srbatch.load(ctile, ctime, flip_index=flip_index)
 
     def get_current_batch_array(self) -> Optional[LArray]:
         return self.srbatch.current_batch

@@ -26,6 +26,7 @@ import numpy as np
 from sres_tpu.config import ConfigContext, cfg
 from sres_tpu.data.batch import BatchDataset
 from sres_tpu.data.inference_io import TSet
+from sres_tpu.data.input_pipeline import iter_pipelined
 from sres_tpu.data.norm import denorm
 from sres_tpu.data.tiles import TileIterator, batchDomain
 from sres_tpu.models import build_model
@@ -132,6 +133,10 @@ class ModelTrainer:
         from concurrent.futures import ThreadPoolExecutor
         self._prefetch = (ThreadPoolExecutor(1, thread_name_prefix="timeslice-prefetch")
                           if bool(cfg().pipeline.get("prefetch", True)) else None)
+        # host input pipeline (data/input_pipeline.py): sync | threads | grain
+        self.input_backend = str(cfg().pipeline.get("input_backend", "sync"))
+        self.input_depth = int(cfg().pipeline.get("input_depth", 2))
+        self.input_workers = int(cfg().pipeline.get("num_workers", 1))
         from sres_tpu.util.diagnostics import apply_pipeline_debug_flags
         apply_pipeline_debug_flags()
         self.data_timestamps: Dict[TSet, List[TimeType]] = {}
@@ -334,11 +339,10 @@ class ModelTrainer:
                     else nullcontext()
                 with prof:
                     staged = []
-                    for ctile in iter(tile_iter):
-                        batch = self.dataset.get_batch_array(ctile, ctime)
-                        if batch is None:
-                            break
-                        hr, weight, nvalid = self._pad_batch(batch)
+                    batch_stream = iter_pipelined(
+                        self._make_batch_producer(ctime), iter(tile_iter),
+                        self.input_backend, self.input_depth, self.input_workers)
+                    for hr, weight, nvalid in batch_stream:
                         if self.steps_per_dispatch == 1:
                             self.state, metrics = self._run_train_step(hr, weight, ctime)
                             metrics_list.append(metrics)
@@ -400,6 +404,22 @@ class ModelTrainer:
                   display=True)
         self.current_losses = dict(prediction=epoch_loss)
         return self.current_losses
+
+    def _make_batch_producer(self, ctime: TimeType):
+        """Closure mapping a ctile → padded (hr, weight, nvalid) or None,
+        handed to data/input_pipeline.iter_pipelined. In grain mode the xyflip
+        index comes from a per-tile derived seed (worker threads would race
+        the sequential generator); sync/threads keep the reference's
+        sequential draw order."""
+        grain_mode = self.input_backend == "grain"
+
+        def produce(ctile):
+            flip_index = (self.dataset.flip_index_for(ctime, ctile)
+                          if grain_mode else None)
+            batch = self.dataset.get_batch_array(ctile, ctime, flip_index=flip_index)
+            return None if batch is None else self._pad_batch(batch)
+
+        return produce
 
     def _tile_iterator(self, ctime: TimeType, randomize: bool = False) -> TileIterator:
         if self.domain == batchDomain.Tiles:
