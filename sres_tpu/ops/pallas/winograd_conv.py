@@ -1,0 +1,307 @@
+"""Pallas TPU kernel: Winograd F(m×m, 3×3) convolution on quad-plane layout.
+
+The production path behind ``model.winograd`` for the lane-packed RCAN trunk
+(reference convs: sres/model/rcan/network.py:50-80). Direct convolution at
+64 logical features is MXU-FLOP-bound (PERF.md roofline: the bf16 step is
+88.5% conv fusions and the trunk's useful-FLOP ceiling is half of peak);
+Winograd computes the same conv with n²/(9·... ) — concretely 2.25× (m=2)
+or 4× (m=4) — fewer MACs. A pure-XLA Winograd drowns in HBM traffic
+materializing the n² transformed taps; here the transforms live in VMEM:
+
+- activations are persistent quad-plane buffers (ops/winograd.py:to_quad):
+  every input tap d[di,dj] and every output tile position is a STATIC
+  contiguous row slice of a flattened parity plane (wrap columns masked —
+  the slice trick proven by the round-2 residual-group kernel),
+- the input transform V = BᵀdB is factorized into two passes of ±coef
+  slice combinations (VPU adds) staged through a VMEM scratch,
+- each transform tap is ONE (rows, 128) @ (128, 128) MXU matmul in bf16
+  with f32 accumulation — full 128-lane occupancy on the packed trunk,
+- the inverse transform Y = AᵀMA + bias (+ optional fused relu) writes
+  masked slices back to quad planes, keeping plane borders exactly zero,
+- the backward is the EXACT ADJOINT (not a second Winograd conv): dM from
+  the A-transform of the masked cotangent, dV = dM·Uᵀ, dx by BᵀdVB
+  overlap-add, and dU = VᵀdM accumulated in-kernel across the sample grid
+  (untransformed to the 3×3 weight grad in XLA: G-adjoint, exact). The only
+  backward residuals are the op's own input (and the forward output when
+  relu is fused, which the autodiff graph keeps alive anyway) — none of the
+  per-block stashes that sank the fused residual-group kernel.
+
+Numerics: transforms for m=2 are exact (±1, ±0.5); m=4 amplifies ~24× but
+bf16 precision is scale-free and every matmul accumulates in f32 — error
+stays in the same class as the direct bf16 conv (tested).
+"""
+from __future__ import annotations
+
+import functools
+from typing import Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from sres_tpu.ops.winograd import (WinoSpec, interior_mask,
+                                   untransform_weight_grad, wino_spec,
+                                   transform_weights)
+
+
+def _interpret() -> bool:
+    return jax.default_backend() != "tpu"
+
+
+def _rup(x: int, q: int = 16) -> int:
+    return ((x + q - 1) // q) * q
+
+
+def _nz(row: np.ndarray) -> Sequence[Tuple[float, int]]:
+    return [(float(c), i) for i, c in enumerate(row) if c != 0.0]
+
+
+def _combine(terms):
+    """Σ coef·value with the first term seeding the accumulator (f32)."""
+    acc = None
+    for coef, val in terms:
+        v = val.astype(jnp.float32)
+        v = v if coef == 1.0 else (np.float32(coef) * v)
+        acc = v if acc is None else acc + v
+    return acc
+
+
+# ------------------------------------------------------------------ forward
+def _fwd_kernel(xq_ref, u_ref, b_ref, mask_ref, yq_ref, w1, mm,
+                *, spec: WinoSpec, bs: int, relu: bool):
+    m, n = spec.m, spec.n
+    mflat, mp = spec.mflat, _rup(spec.mflat)
+    bt, at = spec.bt, spec.at
+    xdt = xq_ref.dtype
+    mask = mask_ref[pl.ds(0, mflat), :]
+
+    @pl.when(pl.program_id(0) == 0)
+    def _zero_scratch():
+        # stage-1 inter-sample gap rows are never written; they must read as
+        # zero in the full-row stage-2 combinations and matmuls
+        w1[:] = jnp.zeros_like(w1)
+
+    def idx(i, j):
+        return i * n + j
+
+    # stage 1 (per sample): w1[p, tj] = Σ_q BT[tj, q] · d[p, q]
+    for s in range(bs):
+        for p in range(n):
+            taps = {}
+            for q in range(n):
+                pidx, off = spec.in_tap(p, q)
+                taps[q] = xq_ref[s, pidx, pl.ds(off, mflat), :]
+            for tj in range(n):
+                acc = _combine([(c, taps[q]) for c, q in _nz(bt[tj])])
+                w1[idx(p, tj), pl.ds(s * mp, mflat), :] = acc.astype(xdt)
+
+    # stage 2 + GEMM: V[ti, tj] = Σ_p BT[ti, p] · w1[p, tj];  M = V @ U
+    for ti in range(n):
+        for tj in range(n):
+            v = _combine([(c, w1[idx(p, tj), :, :]) for c, p in _nz(bt[ti])])
+            mm[idx(ti, tj), :, :] = jnp.dot(
+                v.astype(xdt), u_ref[idx(ti, tj)],
+                preferred_element_type=jnp.float32)
+
+    # inverse transform + bias (+ relu) + masked quad writes
+    bias = b_ref[0, :].astype(jnp.float32)
+    yq_ref[:] = jnp.zeros_like(yq_ref)
+    for s in range(bs):
+        rows = pl.ds(s * mp, mflat)
+        for u in range(m):
+            zrow = {}
+            for tj in range(n):
+                zrow[tj] = _combine([(c, mm[idx(ti, tj), rows, :])
+                                     for c, ti in _nz(at[u])])
+            for v_ in range(m):
+                y = _combine([(c, zrow[tj]) for c, tj in _nz(at[v_])]) + bias
+                if relu:
+                    y = jnp.maximum(y, 0.0)
+                pidx, off = spec.out_tap(u, v_)
+                yq_ref[s, pidx, pl.ds(off, mflat), :] = (y * mask).astype(xdt)
+
+
+def _fwd_call(xq, u, b, spec: WinoSpec, bs: int, relu: bool):
+    t = xq.shape[0]
+    assert t % bs == 0, (t, bs)
+    n2 = spec.n * spec.n
+    mp = _rup(spec.mflat)
+    xdt = xq.dtype
+    mask = jnp.asarray(np.pad(interior_mask(spec),
+                              ((0, mp - spec.mflat), (0, 0))))
+    return pl.pallas_call(
+        functools.partial(_fwd_kernel, spec=spec, bs=bs, relu=relu),
+        grid=(t // bs,),
+        in_specs=[
+            pl.BlockSpec((bs, spec.m * spec.m, spec.pp, 128),
+                         lambda i: (i, 0, 0, 0)),
+            pl.BlockSpec((n2, 128, 128), lambda i: (0, 0, 0)),
+            pl.BlockSpec((1, 128), lambda i: (0, 0)),
+            pl.BlockSpec((mp, 1), lambda i: (0, 0)),
+        ],
+        out_specs=pl.BlockSpec((bs, spec.m * spec.m, spec.pp, 128),
+                               lambda i: (i, 0, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((t, spec.m * spec.m, spec.pp, 128), xdt),
+        scratch_shapes=[pltpu.VMEM((n2, bs * mp, 128), xdt),
+                        pltpu.VMEM((n2, bs * mp, 128), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=110 * 1024 * 1024),
+        interpret=_interpret(),
+    )(xq, u, b, mask)
+
+
+# ----------------------------------------------------------------- backward
+def _bwd_kernel(g_ref, xq_ref, yq_ref, u_ref, mask_ref,
+                dx_ref, du_ref, db_ref, w1, gm, zz, dxa,
+                *, spec: WinoSpec, bs: int, relu: bool):
+    m, n = spec.m, spec.n
+    mflat, mp = spec.mflat, _rup(spec.mflat)
+    bt, at = spec.bt, spec.at
+    xdt = xq_ref.dtype
+    mask = mask_ref[pl.ds(0, mflat), :]
+    first = pl.program_id(0) == 0
+
+    @pl.when(first)
+    def _zero():
+        w1[:] = jnp.zeros_like(w1)
+        zz[:] = jnp.zeros_like(zz)
+        du_ref[:] = jnp.zeros_like(du_ref)
+        db_ref[:] = jnp.zeros_like(db_ref)
+
+    def idx(i, j):
+        return i * n + j
+
+    # --- dM = (A ⊗ A)-adjoint of the masked (relu-gated) output cotangent
+    db_acc = jnp.zeros((1, 128), jnp.float32)
+    for s in range(bs):
+        for u in range(m):
+            gtap = {}
+            for v_ in range(m):
+                pidx, off = spec.out_tap(u, v_)
+                g = g_ref[s, pidx, pl.ds(off, mflat), :].astype(jnp.float32)
+                if relu:
+                    y = yq_ref[s, pidx, pl.ds(off, mflat), :].astype(jnp.float32)
+                    g = jnp.where(y > 0.0, g, 0.0)
+                g = g * mask
+                db_acc = db_acc + jnp.sum(g, axis=0, keepdims=True)
+                gtap[v_] = g
+            for tj in range(n):
+                acc = _combine([(c, gtap[v_]) for c, v_ in _nz(at[:, tj])])
+                zz[u * n + tj, pl.ds(s * mp, mflat), :] = acc.astype(xdt)
+    db_ref[:] += db_acc
+
+    # stage-1 of V recompute: w1[p, tj] = Σ_q BT[tj, q] · d[p, q]  (from xq)
+    for s in range(bs):
+        for p in range(n):
+            taps = {}
+            for q in range(n):
+                pidx, off = spec.in_tap(p, q)
+                taps[q] = xq_ref[s, pidx, pl.ds(off, mflat), :]
+            for tj in range(n):
+                acc = _combine([(c, taps[q]) for c, q in _nz(bt[tj])])
+                w1[idx(p, tj), pl.ds(s * mp, mflat), :] = acc.astype(xdt)
+
+    # per tap: gm = Σ_u AT[u, ti]·zz[u, tj];  dU += Vᵀgm;  dv = gm·Uᵀ → gm
+    for ti in range(n):
+        for tj in range(n):
+            g_tap = _combine([(c, zz[u * n + tj, :, :]) for c, u in _nz(at[:, ti])])
+            g_bf = g_tap.astype(xdt)
+            v = _combine([(c, w1[idx(p, tj), :, :])
+                          for c, p in _nz(bt[ti])]).astype(xdt)
+            du_ref[idx(ti, tj)] += jax.lax.dot_general(
+                v, g_bf, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            dv = jax.lax.dot_general(
+                g_bf, u_ref[idx(ti, tj)], (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            gm[idx(ti, tj), :, :] = dv.astype(xdt)
+
+    # dx: stage s2[ti, q] = Σ_tj BT[tj, q]·dv[ti, tj] (reuses w1), then
+    # dd[p, q] = Σ_ti BT[ti, p]·s2[ti, q], masked overlap-add into dxa
+    for ti in range(n):
+        for q in range(n):
+            acc = _combine([(c, gm[idx(ti, tj), :, :]) for c, tj in _nz(bt[:, q])])
+            w1[idx(ti, q), :, :] = acc.astype(xdt)
+    for s in range(bs):
+        rows = pl.ds(s * mp, mflat)
+        dxa[:] = jnp.zeros_like(dxa)
+        for p in range(n):
+            for q in range(n):
+                dd = _combine([(c, w1[idx(ti, q), rows, :])
+                               for c, ti in _nz(bt[:, p])])
+                pidx, off = spec.in_tap(p, q)
+                dxa[pidx, pl.ds(off, mflat), :] += dd * mask
+        dx_ref[s] = dxa[:].astype(xdt)
+
+
+def _bwd_call(g, xq, yq, u, spec: WinoSpec, bs: int, relu: bool):
+    t = xq.shape[0]
+    n2 = spec.n * spec.n
+    mp = _rup(spec.mflat)
+    m2 = spec.m * spec.m
+    xdt = xq.dtype
+    mask = jnp.asarray(np.pad(interior_mask(spec),
+                              ((0, mp - spec.mflat), (0, 0))))
+    blk = lambda: pl.BlockSpec((bs, m2, spec.pp, 128), lambda i: (i, 0, 0, 0))
+    return pl.pallas_call(
+        functools.partial(_bwd_kernel, spec=spec, bs=bs, relu=relu),
+        grid=(t // bs,),
+        in_specs=[blk(), blk(), blk(),
+                  pl.BlockSpec((n2, 128, 128), lambda i: (0, 0, 0)),
+                  pl.BlockSpec((mp, 1), lambda i: (0, 0))],
+        out_specs=(blk(),
+                   pl.BlockSpec((n2, 128, 128), lambda i: (0, 0, 0)),
+                   pl.BlockSpec((1, 128), lambda i: (0, 0))),
+        out_shape=(jax.ShapeDtypeStruct((t, m2, spec.pp, 128), xdt),
+                   jax.ShapeDtypeStruct((n2, 128, 128), jnp.float32),
+                   jax.ShapeDtypeStruct((1, 128), jnp.float32)),
+        scratch_shapes=[pltpu.VMEM((n2, bs * mp, 128), xdt),
+                        pltpu.VMEM((n2, bs * mp, 128), xdt),
+                        pltpu.VMEM((spec.m * spec.n, bs * mp, 128), xdt),
+                        pltpu.VMEM((m2, spec.pp, 128), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=110 * 1024 * 1024),
+        interpret=_interpret(),
+    )(g, xq, yq, u, mask)
+
+
+# ------------------------------------------------------------- public entry
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
+def wino_conv_quad(xq: jnp.ndarray, w: jnp.ndarray, b: jnp.ndarray,
+                   m: int, hw: Tuple[int, int], relu: bool = False,
+                   bs: int = 1) -> jnp.ndarray:
+    """Winograd 3×3 SAME conv on quad-plane activations.
+
+    xq: (T, m², PP, 128) quad planes (ops/winograd.py:to_quad); w: (3, 3,
+    128, 128) spatial-domain kernel (block-diagonal for the lane-packed
+    trunk); b: (128,) bias (pass zeros when unused). Returns quad planes of
+    the conv output (optionally relu'd), borders exactly zero.
+    """
+    spec = wino_spec(m, *hw)
+    u = transform_weights(w, m).astype(xq.dtype)
+    return _fwd_call(xq, u, b.reshape(1, 128).astype(jnp.float32),
+                     spec, bs, relu)
+
+
+def _vjp_fwd(xq, w, b, m, hw, relu, bs):
+    spec = wino_spec(m, *hw)
+    u = transform_weights(w, m).astype(xq.dtype)
+    yq = _fwd_call(xq, u, b.reshape(1, 128).astype(jnp.float32),
+                   spec, bs, relu)
+    return yq, (xq, yq if relu else xq[:0], u,
+                jnp.zeros((0,), w.dtype), jnp.zeros((0,), b.dtype))
+
+
+def _vjp_bwd(m, hw, relu, bs, res, g):
+    xq, yq, u, wdt_z, bdt_z = res
+    wdt, bdt = wdt_z.dtype, bdt_z.dtype
+    spec = wino_spec(m, *hw)
+    yq_in = yq if relu else xq  # unused by the kernel when relu=False
+    dxq, du, db = _bwd_call(g.astype(xq.dtype), xq, yq_in, u, spec, bs, relu)
+    dw = untransform_weight_grad(du, m).astype(wdt)
+    return dxq, dw, db.reshape(-1).astype(bdt)
+
+
+wino_conv_quad.defvjp(_vjp_fwd, _vjp_bwd)

@@ -1,0 +1,204 @@
+"""Winograd F(m×m, 3×3) convolution: transform constants, the quad-plane
+activation layout, weight transforms, and a pure-jnp reference.
+
+Why: the RCAN trunk (reference: sres/model/rcan/network.py:50-80) is 410
+3×3 convs at 64 logical features; PERF.md's roofline shows direct
+convolution is MXU-FLOP-bound there (the step is 88.5% conv fusions).
+Winograd computes the SAME convolution with 2.25× (m=2) / 4× (m=4) fewer
+MACs: per output tile, Y = Aᵀ[(G g Gᵀ) ⊙ (Bᵀ d B)]A — n²=(m+2)² elementwise
+tap products replace m²·9 MACs, and over channels each tap product becomes a
+(tiles, Cin)@(Cin, Cout) matmul that rides the MXU at full 128-lane
+occupancy on the lane-packed trunk.
+
+Materializing the transformed taps in HBM inflates traffic ~(n²/m²)× — a
+pure-XLA Winograd is bandwidth-bound and LOSES (measured: see PERF.md round
+3) — so the production path is the Pallas kernel
+(ops/pallas/winograd_conv.py) whose transforms live in VMEM. This module
+holds everything layout- and math-related that both sides share:
+
+Quad-plane layout
+-----------------
+``to_quad`` stores the zero-padded (H+2, W+2) image as m² parity planes
+``plane(a,b)[r,c] = xpad[m·r+a, m·c+b]`` flattened to (ph·pw, C) rows.
+In this layout BOTH the Winograd input taps (d[di,dj] over the tile grid)
+and the output tile writes are STATIC CONTIGUOUS row slices (with a
+wrap-column mask, the trick proven by the round-2 residual-group kernel):
+no strided access, no im2col. The layout is persistent across a conv chain
+— elementwise ops, residual adds and channel attention are layout-agnostic
+(plane borders stay exactly zero), so the relayout cost is paid once per
+trunk, not per conv.
+"""
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+# F(2x2, 3x3): exact (all coefficients 0/±1/±0.5) — Lavin & Gray (2015).
+_BT2 = np.array([[1, 0, -1, 0],
+                 [0, 1, 1, 0],
+                 [0, -1, 1, 0],
+                 [0, 1, 0, -1]], np.float64)
+_G2 = np.array([[1, 0, 0],
+                [0.5, 0.5, 0.5],
+                [0.5, -0.5, 0.5],
+                [0, 0, 1]], np.float64)
+_AT2 = np.array([[1, 1, 1, 0],
+                 [0, 1, -1, -1]], np.float64)
+
+# F(4x4, 3x3): 4x MAC reduction; transform amplification ~x24 is benign for
+# bf16 (relative precision is scale-free) and the GEMM accumulates in f32.
+_BT4 = np.array([[4, 0, -5, 0, 1, 0],
+                 [0, -4, -4, 1, 1, 0],
+                 [0, 4, -4, -1, 1, 0],
+                 [0, -2, -1, 2, 1, 0],
+                 [0, 2, -1, -2, 1, 0],
+                 [0, 4, 0, -5, 0, 1]], np.float64)
+_G4 = np.array([[1 / 4, 0, 0],
+                [-1 / 6, -1 / 6, -1 / 6],
+                [-1 / 6, 1 / 6, -1 / 6],
+                [1 / 24, 1 / 12, 1 / 6],
+                [1 / 24, -1 / 12, 1 / 6],
+                [0, 0, 1]], np.float64)
+_AT4 = np.array([[1, 1, 1, 1, 1, 0],
+                 [0, 1, -1, 2, -2, 0],
+                 [0, 1, 1, 4, 4, 0],
+                 [0, 1, -1, 8, -8, 1]], np.float64)
+
+_MATS = {2: (_BT2, _G2, _AT2), 4: (_BT4, _G4, _AT4)}
+
+
+class WinoSpec(NamedTuple):
+    """Geometry of one F(m, 3) conv at a fixed (H, W) spatial size."""
+    m: int          # output tile side
+    n: int          # input tile side = m + 2
+    h: int
+    w: int
+    th: int         # tiles per column = H // m
+    tw: int         # tiles per row   = W // m
+    ph: int         # plane rows = th + 1
+    pw: int         # plane cols = tw + 1
+    pp: int         # padded flat plane rows (multiple of 8)
+    mflat: int      # flat slice length covering the (th, tw) tile window
+
+    @property
+    def bt(self) -> np.ndarray:
+        return _MATS[self.m][0]
+
+    @property
+    def g(self) -> np.ndarray:
+        return _MATS[self.m][1]
+
+    @property
+    def at(self) -> np.ndarray:
+        return _MATS[self.m][2]
+
+    def in_tap(self, di: int, dj: int) -> Tuple[int, int]:
+        """(plane index, flat offset) of input tap d[di, dj]."""
+        return (di % self.m) * self.m + (dj % self.m), \
+            (di // self.m) * self.pw + (dj // self.m)
+
+    def out_tap(self, u: int, v: int) -> Tuple[int, int]:
+        """(plane index, flat offset) of output tile position (u, v)."""
+        a, b = (u + 1) % self.m, (v + 1) % self.m
+        return a * self.m + b, ((u + 1) // self.m) * self.pw + ((v + 1) // self.m)
+
+
+def wino_spec(m: int, h: int, w: int) -> WinoSpec:
+    if m not in _MATS:
+        raise ValueError(f"Winograd tile m must be one of {sorted(_MATS)}, got {m}")
+    if h % m or w % m:
+        raise ValueError(f"H={h}, W={w} must be multiples of the tile size {m}")
+    th, tw = h // m, w // m
+    ph, pw = th + 1, tw + 1
+    pp = ((ph * pw + 15) // 16) * 16  # 16-row aligned (bf16 sublane tiling)
+    mflat = (th - 1) * pw + tw
+    return WinoSpec(m, m + 2, h, w, th, tw, ph, pw, pp, mflat)
+
+
+def interior_mask(spec: WinoSpec) -> np.ndarray:
+    """(mflat, 1) f32: 1 on tile cells, 0 on the pw-pitch wrap columns."""
+    k = np.arange(spec.mflat)
+    return ((k % spec.pw) < spec.tw).astype(np.float32)[:, None]
+
+
+# ------------------------------------------------------------------ layout
+def to_quad(x: jnp.ndarray, spec: WinoSpec) -> jnp.ndarray:
+    """(T, H, W, C) → (T, m², PP, C) zero-padded parity planes."""
+    m = spec.m
+    t, h, w, c = x.shape
+    assert (h, w) == (spec.h, spec.w)
+    xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
+    planes = []
+    for a in range(m):
+        for b in range(m):
+            pl_ = xp[:, a::m, b::m, :]
+            planes.append(jnp.pad(pl_, ((0, 0), (0, spec.ph - pl_.shape[1]),
+                                        (0, spec.pw - pl_.shape[2]), (0, 0))))
+    q = jnp.stack(planes, axis=1).reshape(t, m * m, spec.ph * spec.pw, c)
+    return jnp.pad(q, ((0, 0), (0, 0), (0, spec.pp - spec.ph * spec.pw), (0, 0)))
+
+
+def from_quad(q: jnp.ndarray, spec: WinoSpec) -> jnp.ndarray:
+    """(T, m², PP, C) → (T, H, W, C) (inverse of to_quad, crops the pad)."""
+    m = spec.m
+    t = q.shape[0]
+    c = q.shape[-1]
+    planes = q[:, :, :spec.ph * spec.pw, :].reshape(
+        t, m, m, spec.ph, spec.pw, c)
+    full = planes.transpose(0, 3, 1, 4, 2, 5).reshape(
+        t, m * spec.ph, m * spec.pw, c)
+    return full[:, 1:spec.h + 1, 1:spec.w + 1, :]
+
+
+# ------------------------------------------------------------------ weights
+def transform_weights(w: jnp.ndarray, m: int) -> jnp.ndarray:
+    """(3, 3, Cin, Cout) → (n², Cin, Cout) transform-domain weights
+    U[tap] = (G ⊗ G) w, computed in f32 (block-diagonal structure of
+    lane-packed weights is preserved — G acts on the spatial axes only)."""
+    g = jnp.asarray(_MATS[m][1], jnp.float32)
+    u = jnp.einsum("tp,sq,pqio->tsio", g, g, w.astype(jnp.float32))
+    n = m + 2
+    return u.reshape(n * n, w.shape[2], w.shape[3])
+
+
+def untransform_weight_grad(du: jnp.ndarray, m: int) -> jnp.ndarray:
+    """Adjoint of transform_weights: (n², Cin, Cout) → (3, 3, Cin, Cout)."""
+    g = jnp.asarray(_MATS[m][1], jnp.float32)
+    n = m + 2
+    du4 = du.reshape(n, n, du.shape[1], du.shape[2]).astype(jnp.float32)
+    return jnp.einsum("tp,sq,tsio->pqio", g, g, du4)
+
+
+def flip_transpose_weights(w: jnp.ndarray) -> jnp.ndarray:
+    """(3,3,Cin,Cout) → the kernel of the input-gradient conv: spatially
+    flipped, I/O transposed (standard conv-transpose relabeling)."""
+    return jnp.flip(w, axis=(0, 1)).transpose(0, 1, 3, 2)
+
+
+# ---------------------------------------------------------------- reference
+def wino_conv_ref(x: jnp.ndarray, w: jnp.ndarray, b: jnp.ndarray | None,
+                  m: int) -> jnp.ndarray:
+    """Pure-jnp Winograd conv on NHWC (einsum form) — the math oracle the
+    Pallas kernel and the quad layout are tested against. SAME padding,
+    stride 1, 3×3. Slow (materializes all taps); tests only."""
+    bt, g, at = (jnp.asarray(a, jnp.float32) for a in _MATS[m])
+    n = m + 2
+    t, h, wd, c = x.shape
+    th, tw = h // m, wd // m
+    xp = jnp.pad(x.astype(jnp.float32), ((0, 0), (1, 1), (1, 1), (0, 0)))
+    # d[p, q, t, r, s, c] = xp[t, m*r + p, m*s + q, c]
+    d = jnp.stack([jnp.stack([
+        jax.lax.dynamic_slice(xp, (0, p, q, 0), (t, (th - 1) * m + 1, (tw - 1) * m + 1, c))[:, ::m, ::m, :]
+        for q in range(n)], 0) for p in range(n)], 0)
+    v = jnp.einsum("ip,jq,pqtrsc->ijtrsc", bt, bt, d)
+    u = jnp.einsum("tp,sq,pqio->tsio", g, g, w.astype(jnp.float32))
+    mm = jnp.einsum("ijtrsc,ijcd->ijtrsd", v, u)
+    y = jnp.einsum("ui,vj,ijtrsd->trusvd", at, at, mm)
+    y = y.reshape(t, th * m, tw * m, w.shape[3])
+    if b is not None:
+        y = y + b.astype(jnp.float32)
+    return y
