@@ -76,6 +76,12 @@ def main() -> None:
                    help="int8_fused plus int8 backward contractions "
                         "(model.quantization: int8_full) — the training "
                         "speed path; all three convs ride the int8 MXU")
+    p.add_argument("--winograd", type=int, default=0,
+                   help="2|4: trunk convs via the Pallas Winograd F(m,3) "
+                        "kernel (2.25x/4x fewer MACs; parity numerics — "
+                        "exact-adjoint gradients, f32 accumulation)")
+    p.add_argument("--wino-bs", type=int, default=1, dest="wino_bs",
+                   help="Winograd kernel samples-per-block")
     p.add_argument("--scan", type=int, default=0,
                    help="K>0: run K optimizer steps per device dispatch "
                         "(lax.scan over K staged batches) — amortizes "
@@ -112,7 +118,9 @@ def main() -> None:
                     fused=args.fused,
                     quantization=("int8_full" if args.int8_full
                                   else "int8_fused" if args.int8_fused
-                                  else "int8" if args.int8 else None))
+                                  else "int8" if args.int8 else None),
+                    winograd=(args.winograd or None),
+                    winograd_bs=args.wino_bs)
     precision = "f32" if args.f32 else "bf16"
     model = build_model(mcfg, 1, 1, precision=precision)
 
@@ -250,7 +258,7 @@ def main() -> None:
                                          else A100_BASELINE_TILES_PER_SEC), 3),
         "detail": {
             "devices": ndev, "batch": batch, "steps": args.steps,
-            "precision": precision, "lane_pack": args.lane_pack, "fused": args.fused, "scan": scan, "int8": args.int8, "int8_fused": args.int8_fused, "int8_full": args.int8_full, "step_ms": round(1000 * dt / args.steps, 2),
+            "precision": precision, "lane_pack": args.lane_pack, "fused": args.fused, "scan": scan, "int8": args.int8, "int8_fused": args.int8_fused, "int8_full": args.int8_full, "winograd": args.winograd, "step_ms": round(1000 * dt / args.steps, 2),
             "loss": loss_val, "mfu": round(mfu, 4),
             "hbm_peak_gb": _hbm_peak_gb(jax),
             # compile-time footprint (args+temp+out-aliased) of the step

@@ -33,6 +33,12 @@ class RCAN(nn.Module):
     lane_pack: int = 1        # tiles packed per image in the trunk (PERF.md)
     quantization: Optional[str] = None  # 'int8': AQT trunk convs (opt-in,
     # changes numerics; head/tail/upsampler/CA stay full precision)
+    winograd: Optional[int] = None  # 2|4: trunk convs via the Pallas
+    # Winograd F(m,3) kernel on quad-plane activations (2.25x/4x fewer MACs;
+    # ops/pallas/winograd_conv.py). Requires packed channels == 128 and
+    # H,W divisible by m; silently falls back to the direct path otherwise.
+    # Param tree is identical to the direct path (wino_blocks.py).
+    winograd_bs: int = 1  # samples per kernel block (VMEM/amortization knob)
     remat_trunk: Optional[bool] = None  # checkpoint each residual group.
     # None = auto: ON for int8_full (its custom VJP stashes per-conv int8
     # activations — ~9 GB at batch 144 without remat, which blows HBM and
@@ -43,7 +49,11 @@ class RCAN(nn.Module):
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
         d = self.dtype
-        x = Conv(self.nfeatures, self.kernel_size, use_bias=self.use_bias, dtype=d)(x)
+        # all top-level convs carry explicit names: the winograd branch below
+        # instantiates the body conv by name, which would otherwise shift
+        # flax's auto-name counter and break checkpoint/torch-interop trees
+        x = Conv(self.nfeatures, self.kernel_size, use_bias=self.use_bias,
+                 dtype=d, name="Conv_0")(x)
         # lane packing: run the trunk on `lane_pack` tiles' channels at once
         # so 64-feature convs fill all 128 MXU lanes — numerically identical
         # (block-diagonal weights), same param tree. Pad an uneven batch.
@@ -56,26 +66,51 @@ class RCAN(nn.Module):
         if pk > 1 and bpad:
             x = jnp.concatenate([x, jnp.zeros((bpad,) + x.shape[1:], x.dtype)], 0)
         res = pack_tiles(x, pk) if pk > 1 else x
+        h, w = res.shape[1], res.shape[2]
+        wino = self.winograd if (
+            self.winograd and self.kernel_size == 3 and not self.fused
+            and not self.quantization and pk * self.nfeatures == 128
+            and h % self.winograd == 0 and w % self.winograd == 0
+            and self.winograd_bs > 0 and res.shape[0] % self.winograd_bs == 0
+        ) else None
         skip = res
         remat = (self.quantization == "int8_full" if self.remat_trunk is None
                  else bool(self.remat_trunk))
         group_cls = nn.remat(ResidualGroup) if remat else ResidualGroup
-        for i in range(self.nlayers):
-            if self.fused and pk == 2:
-                from sres_tpu.models.fused import FusedResidualGroup
-                res = FusedResidualGroup(self.nfeatures, self.cbottleneck,
-                                         self.nblocks, dtype=d)(res)
-            else:
-                # explicit name: nn.remat's auto-name is
-                # 'CheckpointResidualGroup_i', which would break checkpoint
-                # and torch-interop param trees
-                res = group_cls(self.nfeatures, self.kernel_size,
-                                self.cbottleneck, self.nblocks, dtype=d,
-                                pack=pk, quant=self.quantization,
-                                name=f"ResidualGroup_{i}")(res)
-        res = Conv(self.nfeatures, self.kernel_size, use_bias=self.use_bias,
-                   dtype=d, pack=pk, quant=self.quantization)(res)
-        res = res + skip
+        if wino:
+            from sres_tpu.models.wino_blocks import (WinoConv,
+                                                     WinoResidualGroup)
+            from sres_tpu.ops.winograd import from_quad, to_quad, wino_spec
+            spec = wino_spec(wino, h, w)
+            res = to_quad(res.astype(d) if d else res, spec)
+            skip_q = res
+            for i in range(self.nlayers):
+                res = WinoResidualGroup(self.nfeatures, self.cbottleneck,
+                                        self.nblocks, wino, (h, w), pk,
+                                        self.winograd_bs, dtype=d,
+                                        name=f"ResidualGroup_{i}")(res)
+            res = WinoConv(self.nfeatures, pk, wino, (h, w), relu=False,
+                           use_bias=self.use_bias, bs=self.winograd_bs,
+                           dtype=d, name="Conv_1")(res)
+            res = from_quad(res + skip_q, spec).astype(skip.dtype)
+        else:
+            for i in range(self.nlayers):
+                if self.fused and pk == 2:
+                    from sres_tpu.models.fused import FusedResidualGroup
+                    res = FusedResidualGroup(self.nfeatures, self.cbottleneck,
+                                             self.nblocks, dtype=d)(res)
+                else:
+                    # explicit name: nn.remat's auto-name is
+                    # 'CheckpointResidualGroup_i', which would break checkpoint
+                    # and torch-interop param trees
+                    res = group_cls(self.nfeatures, self.kernel_size,
+                                    self.cbottleneck, self.nblocks, dtype=d,
+                                    pack=pk, quant=self.quantization,
+                                    name=f"ResidualGroup_{i}")(res)
+            res = Conv(self.nfeatures, self.kernel_size, use_bias=self.use_bias,
+                       dtype=d, pack=pk, quant=self.quantization,
+                       name="Conv_1")(res)
+            res = res + skip
         if pk > 1:
             res = unpack_tiles(res, pk)
             if bpad:
@@ -84,18 +119,21 @@ class RCAN(nn.Module):
         if self.pervar_heads:
             # shared trunk + independent per-variable reconstruction heads
             # (BASELINE config #3: multi-variable joint SR)
-            heads = [Conv(1, self.kernel_size, use_bias=self.use_bias, dtype=d)(y)
-                     for _ in range(self.nchannels_out)]
+            heads = [Conv(1, self.kernel_size, use_bias=self.use_bias, dtype=d,
+                          name=f"Conv_{2 + i}")(y)
+                     for i in range(self.nchannels_out)]
             y = jnp.concatenate(heads, axis=-1)
         else:
-            y = Conv(self.nchannels_out, self.kernel_size, use_bias=self.use_bias, dtype=d)(y)
+            y = Conv(self.nchannels_out, self.kernel_size,
+                     use_bias=self.use_bias, dtype=d, name="Conv_2")(y)
         return y.astype(jnp.float32)
 
 
 def build(model_cfg, nchannels_in: int, nchannels_out: int, dtype=None, temporal_features=None):
     p = resolve_parms(model_cfg, dict(cbottleneck=2, nblocks=20, fused=False,
                                       pervar_heads=False, lane_pack=1,
-                                      quantization=None, remat_trunk=None),
+                                      quantization=None, remat_trunk=None,
+                                      winograd=None, winograd_bs=1),
                       nchannels_in=nchannels_in, nchannels_out=nchannels_out)
     return RCAN(
         nchannels_in=p["nchannels_in"], nchannels_out=p["nchannels_out"],
@@ -104,5 +142,7 @@ def build(model_cfg, nchannels_in: int, nchannels_out: int, dtype=None, temporal
         scale=p["scale"], use_bias=p["bias"], fused=bool(p["fused"]),
         pervar_heads=bool(p["pervar_heads"]), lane_pack=int(p["lane_pack"]),
         quantization=p["quantization"], remat_trunk=p["remat_trunk"],
+        winograd=(int(p["winograd"]) if p["winograd"] else None),
+        winograd_bs=int(p["winograd_bs"]),
         dtype=dtype,
     )

@@ -50,6 +50,12 @@ def _interpret() -> bool:
     return jax.default_backend() != "tpu"
 
 
+# Debug-only stage ablation for on-chip profiling (scripts/bench/
+# micro_winograd.py --ablate N). 0 = full kernel; 1 = input transform only;
+# 2 = + tap GEMMs (skip inverse transform); production code never sets this.
+ABLATE = 0
+
+
 def _rup(x: int, q: int = 16) -> int:
     return ((x + q - 1) // q) * q
 
