@@ -69,7 +69,14 @@ def main():
     ap.add_argument("--bs", type=int, default=1, help="samples per kernel block")
     ap.add_argument("--f32", action="store_true")
     ap.add_argument("--only", type=str, default="")
+    ap.add_argument("--ablate", type=int, default=0,
+                    help="fwd-kernel stage ablation: 1 = input transform "
+                         "only, 2 = + tap GEMMs (no inverse transform). "
+                         "Output is WRONG — timing only (fwd variants).")
     args = ap.parse_args()
+    if args.ablate:
+        import sres_tpu.ops.pallas.winograd_conv as _wc
+        _wc.ABLATE = args.ablate
     if jax.default_backend() != "tpu":
         print(json.dumps({"error": "TPU required (kernel interpret mode on "
                           "CPU is not a benchmark)"}))
@@ -141,6 +148,7 @@ def main():
             record(f"wino{m}_fb", ms)
 
     print(json.dumps(dict(batch=B, hw=HW, nconvs=K, bs=args.bs,
+                          ablate=args.ablate,
                           dtype=str(dtype.__name__), results=results)))
 
 

@@ -103,6 +103,11 @@ def _fwd_kernel(xq_ref, u_ref, b_ref, mask_ref, yq_ref, w1, mm,
                 acc = _combine([(c, taps[q]) for c, q in _nz(bt[tj])])
                 w1[idx(p, tj), pl.ds(s * mp, mflat), :] = acc.astype(xdt)
 
+    if ABLATE == 1:  # input transform only: token write defeats DCE
+        yq_ref[:] = jnp.zeros_like(yq_ref)
+        yq_ref[0, 0, pl.ds(0, mflat), :] = w1[0, pl.ds(0, mflat), :]
+        return
+
     # stage 2 + GEMM: V[ti, tj] = Σ_p BT[ti, p] · w1[p, tj];  M = V @ U
     for ti in range(n):
         for tj in range(n):
@@ -110,6 +115,11 @@ def _fwd_kernel(xq_ref, u_ref, b_ref, mask_ref, yq_ref, w1, mm,
             mm[idx(ti, tj), :, :] = jnp.dot(
                 v.astype(xdt), u_ref[idx(ti, tj)],
                 preferred_element_type=jnp.float32)
+
+    if ABLATE == 2:  # + tap GEMMs, skip the inverse transform
+        yq_ref[:] = jnp.zeros_like(yq_ref)
+        yq_ref[0, 0, pl.ds(0, mflat), :] = mm[0, pl.ds(0, mflat), :].astype(xdt)
+        return
 
     # inverse transform + bias (+ relu) + masked quad writes
     bias = b_ref[0, :].astype(jnp.float32)
