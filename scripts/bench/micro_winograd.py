@@ -28,7 +28,7 @@ import jax.numpy as jnp
 from jax import lax
 
 from sres_tpu.ops.winograd import from_quad, to_quad, wino_spec
-from sres_tpu.ops.pallas.winograd_conv import wino_conv_quad
+from sres_tpu.ops.pallas.winograd_conv import wino_chain_fwd, wino_conv_quad
 
 DN = lax.conv_dimension_numbers((1, 1, 1, 1), (1, 1, 1, 1),
                                 ("NHWC", "HWIO", "NHWC"))
@@ -110,6 +110,17 @@ def main():
             return from_quad(q, spec)
         return f
 
+    def wino_chain_fused(m):
+        spec = wino_spec(m, HW, HW)
+        wstack = jnp.stack(ws)
+        bstack = jnp.stack(bs_)
+
+        def f(x, ws_unused, bs_unused):
+            q = to_quad(x, spec)
+            q = wino_chain_fwd(q, wstack, bstack, m, (HW, HW), args.bs, True)
+            return from_quad(q, spec)
+        return f
+
     def fwd_step(chain):
         def step(x, ws, bs2):
             s = jnp.sum(chain(x, ws, bs2).astype(jnp.float32))
@@ -139,6 +150,11 @@ def main():
         if want(f"wino{m}_fwd"):
             ms, _ = timeit(fwd_step(wino_chain(m)), (x, ws, bs_), args.steps)
             record(f"wino{m}_fwd", ms)
+    for m in (2, 4):
+        if want(f"wino{m}_chain_fwd"):
+            ms, _ = timeit(fwd_step(wino_chain_fused(m)), (x, ws, bs_),
+                           args.steps)
+            record(f"wino{m}_chain_fwd", ms)
     if want("direct_fb"):
         ms, _ = timeit(fb_step(direct_chain), (x, ws, bs_), args.steps)
         record("direct_fb", ms)

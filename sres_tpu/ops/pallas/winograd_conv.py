@@ -52,7 +52,9 @@ def _interpret() -> bool:
 
 # Debug-only stage ablation for on-chip profiling (scripts/bench/
 # micro_winograd.py --ablate N). 0 = full kernel; 1 = input transform only;
-# 2 = + tap GEMMs (skip inverse transform); production code never sets this.
+# 2 = + tap GEMMs (skip inverse transform); 3 = pipeline no-op (block
+# copy-in/zero-out only); 4 = tap reads only (no combines/scratch writes);
+# production code never sets this.
 ABLATE = 0
 
 
@@ -81,62 +83,82 @@ def _fwd_kernel(xq_ref, u_ref, b_ref, mask_ref, yq_ref, w1, mm,
     mflat, mp = spec.mflat, _rup(spec.mflat)
     bt, at = spec.bt, spec.at
     xdt = xq_ref.dtype
-    mask = mask_ref[pl.ds(0, mflat), :]
+    mask = mask_ref[pl.ds(0, mflat), :]  # (mflat, 1) → broadcasts over (bs, ·, 128)
 
     @pl.when(pl.program_id(0) == 0)
     def _zero_scratch():
-        # stage-1 inter-sample gap rows are never written; they must read as
+        # stage-1 tail rows (mflat..mp) are never written; they must read as
         # zero in the full-row stage-2 combinations and matmuls
         w1[:] = jnp.zeros_like(w1)
 
     def idx(i, j):
         return i * n + j
 
-    # stage 1 (per sample): w1[p, tj] = Σ_q BT[tj, q] · d[p, q]
-    for s in range(bs):
+    # Every stage operates on ALL bs samples at once — (bs, mflat, 128)
+    # vector ops with STATIC scratch offsets. The round-3 ablation showed the
+    # per-sample loop form spent 68% of the kernel in stage 1: bs× the slice
+    # bookkeeping and dynamic-offset stores dominated the actual VPU math.
+
+    if ABLATE == 3:  # pipeline no-op: block copy-in + zero-out only
+        yq_ref[:] = jnp.zeros_like(yq_ref)
+        yq_ref[0, 0, pl.ds(0, mflat), :] = xq_ref[0, 0, pl.ds(0, mflat), :]
+        return
+
+    if ABLATE == 4:  # tap reads only: accumulate all n² taps, no w1 writes
+        acc = None
         for p in range(n):
-            taps = {}
             for q in range(n):
                 pidx, off = spec.in_tap(p, q)
-                taps[q] = xq_ref[s, pidx, pl.ds(off, mflat), :]
-            for tj in range(n):
-                acc = _combine([(c, taps[q]) for c, q in _nz(bt[tj])])
-                w1[idx(p, tj), pl.ds(s * mp, mflat), :] = acc.astype(xdt)
+                t_ = xq_ref[:, pidx, pl.ds(off, mflat), :].astype(jnp.float32)
+                acc = t_ if acc is None else acc + t_
+        yq_ref[:] = jnp.zeros_like(yq_ref)
+        yq_ref[:, 0, pl.ds(0, mflat), :] = acc.astype(xdt)
+        return
+
+    # stage 1: w1[p, tj] = Σ_q BT[tj, q] · d[p, q]
+    for p in range(n):
+        taps = {}
+        for q in range(n):
+            pidx, off = spec.in_tap(p, q)
+            taps[q] = xq_ref[:, pidx, pl.ds(off, mflat), :]
+        for tj in range(n):
+            acc = _combine([(c, taps[q]) for c, q in _nz(bt[tj])])
+            w1[idx(p, tj), :, pl.ds(0, mflat), :] = acc.astype(xdt)
 
     if ABLATE == 1:  # input transform only: token write defeats DCE
         yq_ref[:] = jnp.zeros_like(yq_ref)
-        yq_ref[0, 0, pl.ds(0, mflat), :] = w1[0, pl.ds(0, mflat), :]
+        yq_ref[0, 0, pl.ds(0, mflat), :] = w1[0, 0, pl.ds(0, mflat), :]
         return
 
     # stage 2 + GEMM: V[ti, tj] = Σ_p BT[ti, p] · w1[p, tj];  M = V @ U
+    # ((bs·mp, 128) @ (128, 128) — mp is 16-row aligned so the collapse of
+    # (bs, mp) into the GEMM M dimension is a no-op relayout)
     for ti in range(n):
         for tj in range(n):
-            v = _combine([(c, w1[idx(p, tj), :, :]) for c, p in _nz(bt[ti])])
-            mm[idx(ti, tj), :, :] = jnp.dot(
-                v.astype(xdt), u_ref[idx(ti, tj)],
-                preferred_element_type=jnp.float32)
+            v = _combine([(c, w1[idx(p, tj), :, :, :]) for c, p in _nz(bt[ti])])
+            mm[idx(ti, tj), :, :, :] = jnp.dot(
+                v.astype(xdt).reshape(bs * mp, 128), u_ref[idx(ti, tj)],
+                preferred_element_type=jnp.float32).reshape(bs, mp, 128)
 
     if ABLATE == 2:  # + tap GEMMs, skip the inverse transform
         yq_ref[:] = jnp.zeros_like(yq_ref)
-        yq_ref[0, 0, pl.ds(0, mflat), :] = mm[0, pl.ds(0, mflat), :].astype(xdt)
+        yq_ref[0, 0, pl.ds(0, mflat), :] = mm[0, 0, pl.ds(0, mflat), :].astype(xdt)
         return
 
     # inverse transform + bias (+ relu) + masked quad writes
     bias = b_ref[0, :].astype(jnp.float32)
     yq_ref[:] = jnp.zeros_like(yq_ref)
-    for s in range(bs):
-        rows = pl.ds(s * mp, mflat)
-        for u in range(m):
-            zrow = {}
-            for tj in range(n):
-                zrow[tj] = _combine([(c, mm[idx(ti, tj), rows, :])
-                                     for c, ti in _nz(at[u])])
-            for v_ in range(m):
-                y = _combine([(c, zrow[tj]) for c, tj in _nz(at[v_])]) + bias
-                if relu:
-                    y = jnp.maximum(y, 0.0)
-                pidx, off = spec.out_tap(u, v_)
-                yq_ref[s, pidx, pl.ds(off, mflat), :] = (y * mask).astype(xdt)
+    for u in range(m):
+        zrow = {}
+        for tj in range(n):
+            zrow[tj] = _combine([(c, mm[idx(ti, tj), :, pl.ds(0, mflat), :])
+                                 for c, ti in _nz(at[u])])
+        for v_ in range(m):
+            y = _combine([(c, zrow[tj]) for c, tj in _nz(at[v_])]) + bias
+            if relu:
+                y = jnp.maximum(y, 0.0)
+            pidx, off = spec.out_tap(u, v_)
+            yq_ref[:, pidx, pl.ds(off, mflat), :] = (y * mask).astype(xdt)
 
 
 def _fwd_call(xq, u, b, spec: WinoSpec, bs: int, relu: bool):
@@ -160,8 +182,8 @@ def _fwd_call(xq, u, b, spec: WinoSpec, bs: int, relu: bool):
         out_specs=pl.BlockSpec((bs, spec.m * spec.m, spec.pp, 128),
                                lambda i: (i, 0, 0, 0)),
         out_shape=jax.ShapeDtypeStruct((t, spec.m * spec.m, spec.pp, 128), xdt),
-        scratch_shapes=[pltpu.VMEM((n2, bs * mp, 128), xdt),
-                        pltpu.VMEM((n2, bs * mp, 128), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((n2, bs, mp, 128), xdt),
+                        pltpu.VMEM((n2, bs, mp, 128), jnp.float32)],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=110 * 1024 * 1024),
         interpret=_interpret(),
@@ -189,67 +211,67 @@ def _bwd_kernel(g_ref, xq_ref, yq_ref, u_ref, mask_ref,
     def idx(i, j):
         return i * n + j
 
+    # All stages vectorized over the bs samples (see the forward kernel note:
+    # per-sample loops were the dominant kernel cost, not the math).
+
     # --- dM = (A ⊗ A)-adjoint of the masked (relu-gated) output cotangent
-    db_acc = jnp.zeros((1, 128), jnp.float32)
-    for s in range(bs):
-        for u in range(m):
-            gtap = {}
-            for v_ in range(m):
-                pidx, off = spec.out_tap(u, v_)
-                g = g_ref[s, pidx, pl.ds(off, mflat), :].astype(jnp.float32)
-                if relu:
-                    y = yq_ref[s, pidx, pl.ds(off, mflat), :].astype(jnp.float32)
-                    g = jnp.where(y > 0.0, g, 0.0)
-                g = g * mask
-                db_acc = db_acc + jnp.sum(g, axis=0, keepdims=True)
-                gtap[v_] = g
-            for tj in range(n):
-                acc = _combine([(c, gtap[v_]) for c, v_ in _nz(at[:, tj])])
-                zz[u * n + tj, pl.ds(s * mp, mflat), :] = acc.astype(xdt)
-    db_ref[:] += db_acc
+    db_acc = jnp.zeros((1, 1, 128), jnp.float32)
+    for u in range(m):
+        gtap = {}
+        for v_ in range(m):
+            pidx, off = spec.out_tap(u, v_)
+            g = g_ref[:, pidx, pl.ds(off, mflat), :].astype(jnp.float32)
+            if relu:
+                y = yq_ref[:, pidx, pl.ds(off, mflat), :].astype(jnp.float32)
+                g = jnp.where(y > 0.0, g, 0.0)
+            g = g * mask
+            db_acc = db_acc + jnp.sum(g, axis=(0, 1), keepdims=True)
+            gtap[v_] = g
+        for tj in range(n):
+            acc = _combine([(c, gtap[v_]) for c, v_ in _nz(at[:, tj])])
+            zz[u * n + tj, :, pl.ds(0, mflat), :] = acc.astype(xdt)
+    db_ref[:] += db_acc[0]
 
     # stage-1 of V recompute: w1[p, tj] = Σ_q BT[tj, q] · d[p, q]  (from xq)
-    for s in range(bs):
-        for p in range(n):
-            taps = {}
-            for q in range(n):
-                pidx, off = spec.in_tap(p, q)
-                taps[q] = xq_ref[s, pidx, pl.ds(off, mflat), :]
-            for tj in range(n):
-                acc = _combine([(c, taps[q]) for c, q in _nz(bt[tj])])
-                w1[idx(p, tj), pl.ds(s * mp, mflat), :] = acc.astype(xdt)
+    for p in range(n):
+        taps = {}
+        for q in range(n):
+            pidx, off = spec.in_tap(p, q)
+            taps[q] = xq_ref[:, pidx, pl.ds(off, mflat), :]
+        for tj in range(n):
+            acc = _combine([(c, taps[q]) for c, q in _nz(bt[tj])])
+            w1[idx(p, tj), :, pl.ds(0, mflat), :] = acc.astype(xdt)
 
     # per tap: gm = Σ_u AT[u, ti]·zz[u, tj];  dU += Vᵀgm;  dv = gm·Uᵀ → gm
     for ti in range(n):
         for tj in range(n):
-            g_tap = _combine([(c, zz[u * n + tj, :, :]) for c, u in _nz(at[:, ti])])
-            g_bf = g_tap.astype(xdt)
-            v = _combine([(c, w1[idx(p, tj), :, :])
-                          for c, p in _nz(bt[ti])]).astype(xdt)
+            g_tap = _combine([(c, zz[u * n + tj, :, :, :])
+                              for c, u in _nz(at[:, ti])])
+            g_bf = g_tap.astype(xdt).reshape(bs * mp, 128)
+            v = _combine([(c, w1[idx(p, tj), :, :, :])
+                          for c, p in _nz(bt[ti])]).astype(xdt).reshape(bs * mp, 128)
             du_ref[idx(ti, tj)] += jax.lax.dot_general(
                 v, g_bf, (((0,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32)
             dv = jax.lax.dot_general(
                 g_bf, u_ref[idx(ti, tj)], (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32)
-            gm[idx(ti, tj), :, :] = dv.astype(xdt)
+            gm[idx(ti, tj), :, :, :] = dv.reshape(bs, mp, 128).astype(xdt)
 
     # dx: stage s2[ti, q] = Σ_tj BT[tj, q]·dv[ti, tj] (reuses w1), then
     # dd[p, q] = Σ_ti BT[ti, p]·s2[ti, q], masked overlap-add into dxa
     for ti in range(n):
         for q in range(n):
-            acc = _combine([(c, gm[idx(ti, tj), :, :]) for c, tj in _nz(bt[:, q])])
-            w1[idx(ti, q), :, :] = acc.astype(xdt)
-    for s in range(bs):
-        rows = pl.ds(s * mp, mflat)
-        dxa[:] = jnp.zeros_like(dxa)
-        for p in range(n):
-            for q in range(n):
-                dd = _combine([(c, w1[idx(ti, q), rows, :])
-                               for c, ti in _nz(bt[:, p])])
-                pidx, off = spec.in_tap(p, q)
-                dxa[pidx, pl.ds(off, mflat), :] += dd * mask
-        dx_ref[s] = dxa[:].astype(xdt)
+            acc = _combine([(c, gm[idx(ti, tj), :, :, :]) for c, tj in _nz(bt[:, q])])
+            w1[idx(ti, q), :, :, :] = acc.astype(xdt)
+    dxa[:] = jnp.zeros_like(dxa)
+    for p in range(n):
+        for q in range(n):
+            dd = _combine([(c, w1[idx(ti, q), :, pl.ds(0, mflat), :])
+                           for c, ti in _nz(bt[:, p])])
+            pidx, off = spec.in_tap(p, q)
+            dxa[:, pidx, pl.ds(off, mflat), :] += dd * mask
+    dx_ref[:] = dxa[:].astype(xdt)
 
 
 def _bwd_call(g, xq, yq, u, spec: WinoSpec, bs: int, relu: bool):
@@ -273,14 +295,124 @@ def _bwd_call(g, xq, yq, u, spec: WinoSpec, bs: int, relu: bool):
         out_shape=(jax.ShapeDtypeStruct((t, m2, spec.pp, 128), xdt),
                    jax.ShapeDtypeStruct((n2, 128, 128), jnp.float32),
                    jax.ShapeDtypeStruct((1, 128), jnp.float32)),
-        scratch_shapes=[pltpu.VMEM((n2, bs * mp, 128), xdt),
-                        pltpu.VMEM((n2, bs * mp, 128), xdt),
-                        pltpu.VMEM((spec.m * spec.n, bs * mp, 128), xdt),
-                        pltpu.VMEM((m2, spec.pp, 128), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((n2, bs, mp, 128), xdt),
+                        pltpu.VMEM((n2, bs, mp, 128), xdt),
+                        pltpu.VMEM((spec.m * spec.n, bs, mp, 128), xdt),
+                        pltpu.VMEM((bs, m2, spec.pp, 128), jnp.float32)],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=110 * 1024 * 1024),
         interpret=_interpret(),
     )(g, xq, yq, u, mask)
+
+
+# ------------------------------------------------------- chained forward
+def _chain_fwd_kernel(xq_ref, u_ref, b_ref, mask_ref, yq_ref, qc, w1, mm,
+                      *, spec: WinoSpec, bs: int, nk: int, relu: bool):
+    """One grid step = one conv k applied to the resident activations.
+
+    Grid is (T//bs, K) with k fastest: the activation block is carried
+    across the K steps in the qc scratch (initialized from xq at k==0, conv
+    output written back in place — safe because stage 1 fully consumes it
+    into w1 first), so HBM sees each activation block exactly twice for the
+    WHOLE chain instead of twice per conv. The round-3 bisection measured
+    the per-conv pipeline at 0.163 ms vs 0.090 ms of transform+GEMM work —
+    this kernel exists to amortize exactly that. The full transformed-weight
+    stack (K, n², 128, 128) is one revisited block: resident in VMEM,
+    streamed from HBM once per kernel call.
+    """
+    m, n = spec.m, spec.n
+    mflat, mp = spec.mflat, _rup(spec.mflat)
+    bt, at = spec.bt, spec.at
+    xdt = xq_ref.dtype
+    mask = mask_ref[pl.ds(0, mflat), :]
+    k = pl.program_id(1)
+
+    @pl.when((pl.program_id(0) == 0) & (k == 0))
+    def _zero_scratch():
+        w1[:] = jnp.zeros_like(w1)
+
+    @pl.when(k == 0)
+    def _load_block():
+        qc[:] = xq_ref[:]
+
+    def idx(i, j):
+        return i * n + j
+
+    # stage 1 from the resident activations
+    for p in range(n):
+        taps = {}
+        for q in range(n):
+            pidx, off = spec.in_tap(p, q)
+            taps[q] = qc[:, pidx, pl.ds(off, mflat), :]
+        for tj in range(n):
+            acc = _combine([(c, taps[q]) for c, q in _nz(bt[tj])])
+            w1[idx(p, tj), :, pl.ds(0, mflat), :] = acc.astype(xdt)
+
+    # tap GEMMs against conv k's transformed weights
+    for ti in range(n):
+        for tj in range(n):
+            v = _combine([(c, w1[idx(p, tj), :, :, :]) for c, p in _nz(bt[ti])])
+            mm[idx(ti, tj), :, :, :] = jnp.dot(
+                v.astype(xdt).reshape(bs * mp, 128), u_ref[0, idx(ti, tj)],
+                preferred_element_type=jnp.float32).reshape(bs, mp, 128)
+
+    # inverse transform back into the resident buffer (masked interiors over
+    # borders that stay zero from the k==0 load)
+    bias = b_ref[0, 0, :].astype(jnp.float32)
+    for u in range(m):
+        zrow = {}
+        for tj in range(n):
+            zrow[tj] = _combine([(c, mm[idx(ti, tj), :, pl.ds(0, mflat), :])
+                                 for c, ti in _nz(at[u])])
+        for v_ in range(m):
+            y = _combine([(c, zrow[tj]) for c, tj in _nz(at[v_])]) + bias
+            if relu:
+                y = jnp.maximum(y, 0.0)
+            pidx, off = spec.out_tap(u, v_)
+            qc[:, pidx, pl.ds(off, mflat), :] = (y * mask).astype(xdt)
+
+    @pl.when(k == nk - 1)
+    def _store_block():
+        yq_ref[:] = qc[:]
+
+
+def wino_chain_fwd(xq: jnp.ndarray, ws: jnp.ndarray, bvec: jnp.ndarray,
+                   m: int, hw: Tuple[int, int], bs: int = 4,
+                   relu: bool = True) -> jnp.ndarray:
+    """Chain of K Winograd 3×3 SAME convs (+relu) on quad planes in ONE
+    pallas_call. ws: (K, 3, 3, 128, 128); bvec: (K, 128). Forward only —
+    the probe/serving path (no custom VJP; do not differentiate through)."""
+    spec = wino_spec(m, *hw)
+    t = xq.shape[0]
+    nk = ws.shape[0]
+    assert t % bs == 0, (t, bs)
+    n2 = spec.n * spec.n
+    mp = _rup(spec.mflat)
+    xdt = xq.dtype
+    u = jax.vmap(lambda w: transform_weights(w, m))(ws).astype(xdt)
+    mask = jnp.asarray(np.pad(interior_mask(spec),
+                              ((0, mp - spec.mflat), (0, 0))))
+    blk = lambda: pl.BlockSpec((bs, spec.m * spec.m, spec.pp, 128),
+                               lambda i, k: (i, 0, 0, 0))
+    return pl.pallas_call(
+        functools.partial(_chain_fwd_kernel, spec=spec, bs=bs, nk=nk,
+                          relu=relu),
+        grid=(t // bs, nk),
+        in_specs=[
+            blk(),
+            pl.BlockSpec((1, n2, 128, 128), lambda i, k: (k, 0, 0, 0)),
+            pl.BlockSpec((1, 1, 128), lambda i, k: (k, 0, 0)),
+            pl.BlockSpec((mp, 1), lambda i, k: (0, 0)),
+        ],
+        out_specs=blk(),
+        out_shape=jax.ShapeDtypeStruct((t, spec.m * spec.m, spec.pp, 128), xdt),
+        scratch_shapes=[pltpu.VMEM((bs, spec.m * spec.m, spec.pp, 128), xdt),
+                        pltpu.VMEM((n2, bs, mp, 128), xdt),
+                        pltpu.VMEM((n2, bs, mp, 128), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=110 * 1024 * 1024),
+        interpret=_interpret(),
+    )(xq, u, bvec.reshape(nk, 1, 128).astype(jnp.float32), mask)
 
 
 # ------------------------------------------------------------- public entry
