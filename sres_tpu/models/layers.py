@@ -126,7 +126,7 @@ class _PackedConvCore(nn.Module):
     quant: Optional[str] = None
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+    def __call__(self, x: jnp.ndarray, collect: bool = False) -> jnp.ndarray:
         k, p = self.kernel_size, self.pack
         cin = x.shape[-1] // p
         kernel = self.param("kernel", torch_kernel_init, (k, k, cin, self.features))
@@ -142,6 +142,13 @@ class _PackedConvCore(nn.Module):
         rows = [jnp.concatenate([kernel if g == j else zero for j in range(p)],
                                 axis=3) for g in range(p)]
         big = jnp.concatenate(rows, axis=2)
+        if collect:
+            # declare params, skip the conv: return the expanded block-diag
+            # weights + packed bias for an external fused kernel (the wino
+            # group chain, models/wino_blocks.py). x supplies shape/pack only.
+            bb = (jnp.tile(bias, p) if bias is not None
+                  else jnp.zeros((self.features * p,)))
+            return big.astype(jnp.float32), bb.astype(jnp.float32)
         dt = self.dtype or x.dtype
         pad = self.padding if self.padding is not None else [(k // 2, k // 2)] * 2
         dn = jax.lax.conv_dimension_numbers(x.shape, big.shape,
@@ -170,12 +177,14 @@ class Conv(nn.Module):
     quant: Optional[str] = None   # 'int8': AQT-quantized conv (opt-in)
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+    def __call__(self, x: jnp.ndarray, collect: bool = False) -> jnp.ndarray:
         k = self.kernel_size
-        if self.pack > 1:
+        if self.pack > 1 or collect:
+            # collect routes through the packed core even at pack=1: its
+            # {kernel, bias} params are checkpoint-identical to nn.Conv's
             return _PackedConvCore(
                 self.features, k, self.pack, self.stride, self.use_bias,
-                self.dtype, self.padding, self.quant, name="Conv_0")(x)
+                self.dtype, self.padding, self.quant, name="Conv_0")(x, collect)
         pad = self.padding if self.padding is not None else [(k // 2, k // 2)] * 2
         fan_in = x.shape[-1] * k * k
         return nn.Conv(

@@ -85,9 +85,12 @@ class RCAN(nn.Module):
             res = to_quad(res.astype(d) if d else res, spec)
             skip_q = res
             for i in range(self.nlayers):
+                # eval/serve (no gradients needed): whole-group chain kernel;
+                # train: per-conv kernels with the exact-adjoint VJP
                 res = WinoResidualGroup(self.nfeatures, self.cbottleneck,
                                         self.nblocks, wino, (h, w), pk,
-                                        self.winograd_bs, dtype=d,
+                                        self.winograd_bs, chain=not train,
+                                        dtype=d,
                                         name=f"ResidualGroup_{i}")(res)
             res = WinoConv(self.nfeatures, pk, wino, (h, w), relu=False,
                            use_bias=self.use_bias, bs=self.winograd_bs,

@@ -52,7 +52,7 @@ class _WinoConvCore(nn.Module):
     dtype: Optional[Dtype] = None
 
     @nn.compact
-    def __call__(self, q: jnp.ndarray) -> jnp.ndarray:
+    def __call__(self, q: jnp.ndarray, collect: bool = False) -> jnp.ndarray:
         cin = q.shape[-1] // self.pack
         kernel = self.param("kernel", torch_kernel_init,
                             (3, 3, cin, self.features))
@@ -65,6 +65,8 @@ class _WinoConvCore(nn.Module):
         else:
             bias = jnp.zeros((self.features * self.pack,), jnp.float32)
         big = expand_blockdiag(kernel, self.pack).astype(jnp.float32)
+        if collect:
+            return big, bias.astype(jnp.float32)
         dt = self.dtype or q.dtype
         return wino_conv_quad(q.astype(dt), big, bias, self.m, self.hw,
                               self.relu, self.bs)
@@ -83,10 +85,10 @@ class WinoConv(nn.Module):
     dtype: Optional[Dtype] = None
 
     @nn.compact
-    def __call__(self, q: jnp.ndarray) -> jnp.ndarray:
+    def __call__(self, q: jnp.ndarray, collect: bool = False) -> jnp.ndarray:
         return _WinoConvCore(self.features, self.pack, self.m, self.hw,
                              self.relu, self.use_bias, self.bs, self.dtype,
-                             name="Conv_0")(q)
+                             name="Conv_0")(q, collect)
 
 
 class WinoCALayer(nn.Module):
@@ -100,7 +102,17 @@ class WinoCALayer(nn.Module):
     dtype: Optional[Dtype] = None
 
     @nn.compact
-    def __call__(self, q: jnp.ndarray) -> jnp.ndarray:
+    def __call__(self, q: jnp.ndarray, collect: bool = False):
+        if collect:
+            cpk = q.shape[-1]                 # packed channel count (128)
+            cah = (self.channels // self.reduction) * self.pack
+            w1, b1 = Conv(self.channels // self.reduction, 1, dtype=self.dtype,
+                          pack=self.pack, name="Conv_0")(
+                              jnp.zeros((1, 1, 1, cpk), q.dtype), collect=True)
+            w2, b2 = Conv(self.channels, 1, dtype=self.dtype, pack=self.pack,
+                          name="Conv_1")(
+                              jnp.zeros((1, 1, 1, cah), q.dtype), collect=True)
+            return (w1.reshape(cpk, cah), b1, w2.reshape(cah, cpk), b2)
         y = jnp.sum(q.astype(jnp.float32), axis=(1, 2), keepdims=False) / self.npix
         y = y[:, None, None, :].astype(q.dtype)          # (T, 1, 1, C·pack)
         y = Conv(self.channels // self.reduction, 1, dtype=self.dtype,
@@ -123,19 +135,33 @@ class WinoRCAB(nn.Module):
     dtype: Optional[Dtype] = None
 
     @nn.compact
-    def __call__(self, q: jnp.ndarray) -> jnp.ndarray:
-        r = WinoConv(self.features, self.pack, self.m, self.hw, relu=True,
-                     bs=self.bs, dtype=self.dtype, name="Conv_0")(q)
-        r = WinoConv(self.features, self.pack, self.m, self.hw, relu=False,
-                     bs=self.bs, dtype=self.dtype, name="Conv_1")(r)
-        r = WinoCALayer(self.features, self.reduction,
-                        self.hw[0] * self.hw[1], self.pack,
-                        dtype=self.dtype, name="CALayer_0")(r)
+    def __call__(self, q: jnp.ndarray, collect: bool = False):
+        c1 = WinoConv(self.features, self.pack, self.m, self.hw, relu=True,
+                      bs=self.bs, dtype=self.dtype, name="Conv_0")
+        c2 = WinoConv(self.features, self.pack, self.m, self.hw, relu=False,
+                      bs=self.bs, dtype=self.dtype, name="Conv_1")
+        ca = WinoCALayer(self.features, self.reduction,
+                         self.hw[0] * self.hw[1], self.pack,
+                         dtype=self.dtype, name="CALayer_0")
+        if collect:
+            w1, b1 = c1(q, collect=True)
+            w2, b2 = c2(q, collect=True)
+            return (jnp.stack([w1, w2]), jnp.stack([b1, b2])) + ca(q, collect=True)
+        r = c1(q)
+        r = c2(r)
+        r = ca(r)
         return q + r
 
 
 class WinoResidualGroup(nn.Module):
-    """nblocks × WinoRCAB + trailing conv + group skip, all on quad planes."""
+    """nblocks × WinoRCAB + trailing conv + group skip, all on quad planes.
+
+    ``chain=True`` (forward-only: serving/eval) runs the whole RCAB stack in
+    ONE pallas_call (ops/pallas/winograd_conv.py:wino_group_fwd) — the
+    round-3 bisection measured the per-conv kernel's block pipeline at 65%
+    of its wall time, which chaining amortizes across the group. The param
+    tree is identical to chain=False (the same child modules declare the
+    params in collect mode)."""
     features: int
     reduction: int
     nblocks: int
@@ -143,15 +169,31 @@ class WinoResidualGroup(nn.Module):
     hw: tuple
     pack: int
     bs: int = 1
+    chain: bool = False
     dtype: Optional[Dtype] = None
 
     @nn.compact
     def __call__(self, q: jnp.ndarray) -> jnp.ndarray:
-        r = q
-        for i in range(self.nblocks):
-            r = WinoRCAB(self.features, self.reduction, self.m, self.hw,
-                         self.pack, self.bs, dtype=self.dtype,
-                         name=f"RCAB_{i}")(r)
+        if self.chain:
+            from sres_tpu.ops.pallas.winograd_conv import wino_group_fwd
+            ws, bv, cw1, cb1, cw2, cb2 = [], [], [], [], [], []
+            for i in range(self.nblocks):
+                w2, b2, a1, ab1, a2, ab2 = WinoRCAB(
+                    self.features, self.reduction, self.m, self.hw,
+                    self.pack, self.bs, dtype=self.dtype,
+                    name=f"RCAB_{i}")(q, collect=True)
+                ws.append(w2); bv.append(b2); cw1.append(a1)
+                cb1.append(ab1); cw2.append(a2); cb2.append(ab2)
+            r = wino_group_fwd(q, jnp.stack(ws), jnp.stack(bv),
+                               jnp.stack(cw1), jnp.stack(cb1),
+                               jnp.stack(cw2), jnp.stack(cb2),
+                               self.m, self.hw, self.bs)
+        else:
+            r = q
+            for i in range(self.nblocks):
+                r = WinoRCAB(self.features, self.reduction, self.m, self.hw,
+                             self.pack, self.bs, dtype=self.dtype,
+                             name=f"RCAB_{i}")(r)
         r = WinoConv(self.features, self.pack, self.m, self.hw, relu=False,
                      bs=self.bs, dtype=self.dtype, name="Conv_0")(r)
         return q + r

@@ -415,6 +415,137 @@ def wino_chain_fwd(xq: jnp.ndarray, ws: jnp.ndarray, bvec: jnp.ndarray,
     )(xq, u, bvec.reshape(nk, 1, 128).astype(jnp.float32), mask)
 
 
+# ------------------------------------------------------- chained RCAB group
+def _group_fwd_kernel(xq_ref, u_ref, b_ref, cw1_ref, cb1_ref, cw2_ref,
+                      cb2_ref, mask_ref, yq_ref, qc, rb, w1, mm,
+                      *, spec: WinoSpec, bs: int, nb: int, npix: int):
+    """One grid step = one full RCAB (conv+relu → conv → channel attention →
+    block skip) on VMEM-resident activations. Same pipeline-amortization
+    rationale as _chain_fwd_kernel; channel attention runs in-kernel (plane
+    borders are exactly zero, so the global mean is the plane sum / npix —
+    reference CA: sres/model/rcan/network.py:31-48)."""
+    m, n = spec.m, spec.n
+    mflat, mp = spec.mflat, _rup(spec.mflat)
+    bt, at = spec.bt, spec.at
+    xdt = xq_ref.dtype
+    mask = mask_ref[pl.ds(0, mflat), :]
+    k = pl.program_id(1)
+
+    @pl.when((pl.program_id(0) == 0) & (k == 0))
+    def _zero_scratch():
+        w1[:] = jnp.zeros_like(w1)
+
+    @pl.when(k == 0)
+    def _load_block():
+        qc[:] = xq_ref[:]
+
+    def idx(i, j):
+        return i * n + j
+
+    def conv(src, dst, slot, relu, zero_dst):
+        for p in range(n):
+            taps = {}
+            for q in range(n):
+                pidx, off = spec.in_tap(p, q)
+                taps[q] = src[:, pidx, pl.ds(off, mflat), :]
+            for tj in range(n):
+                acc = _combine([(c, taps[q]) for c, q in _nz(bt[tj])])
+                w1[idx(p, tj), :, pl.ds(0, mflat), :] = acc.astype(xdt)
+        for ti in range(n):
+            for tj in range(n):
+                v = _combine([(c, w1[idx(p, tj), :, :, :])
+                              for c, p in _nz(bt[ti])])
+                mm[idx(ti, tj), :, :, :] = jnp.dot(
+                    v.astype(xdt).reshape(bs * mp, 128), u_ref[0, slot, idx(ti, tj)],
+                    preferred_element_type=jnp.float32).reshape(bs, mp, 128)
+        if zero_dst:
+            dst[:] = jnp.zeros_like(dst)
+        bias = b_ref[0, slot, :].astype(jnp.float32)
+        for u in range(m):
+            zrow = {}
+            for tj in range(n):
+                zrow[tj] = _combine([(c, mm[idx(ti, tj), :, pl.ds(0, mflat), :])
+                                     for c, ti in _nz(at[u])])
+            for v_ in range(m):
+                y = _combine([(c, zrow[tj]) for c, tj in _nz(at[v_])]) + bias
+                if relu:
+                    y = jnp.maximum(y, 0.0)
+                pidx, off = spec.out_tap(u, v_)
+                dst[:, pidx, pl.ds(off, mflat), :] = (y * mask).astype(xdt)
+
+    # RCAB: conv1+relu → conv2 (in place: stage 1 fully consumes rb into w1
+    # before the inverse transform writes it; borders stay zero)
+    conv(qc, rb, 0, True, True)
+    conv(rb, rb, 1, False, False)
+
+    # channel attention: pooled mean → 1×1 convs → sigmoid gate
+    s = jnp.sum(rb[:, :, :, :].astype(jnp.float32), axis=(1, 2))   # (bs, 128)
+    mean = s * np.float32(1.0 / npix)
+    g = jnp.maximum(jnp.dot(mean, cw1_ref[0],
+                            preferred_element_type=jnp.float32) + cb1_ref[0], 0.0)
+    g = jax.nn.sigmoid(jnp.dot(g, cw2_ref[0],
+                               preferred_element_type=jnp.float32) + cb2_ref[0])
+
+    # block skip with the gated residual
+    qc[:] = (qc[:].astype(jnp.float32)
+             + rb[:].astype(jnp.float32) * g[:, None, None, :]).astype(xdt)
+
+    @pl.when(k == nb - 1)
+    def _store_block():
+        yq_ref[:] = qc[:]
+
+
+def wino_group_fwd(xq: jnp.ndarray, ws: jnp.ndarray, bvec: jnp.ndarray,
+                   caw1: jnp.ndarray, cab1: jnp.ndarray,
+                   caw2: jnp.ndarray, cab2: jnp.ndarray,
+                   m: int, hw: Tuple[int, int], bs: int = 4) -> jnp.ndarray:
+    """A whole residual group's RCAB stack (reference rcan/network.py:50-66)
+    in ONE pallas_call over quad planes. ws: (nb, 2, 3, 3, 128, 128) spatial
+    conv weights (block-diag-expanded); bvec: (nb, 2, 128); caw1/cab1/caw2/
+    cab2: packed channel-attention 1×1 weights (nb, 128, ch)/(nb, 1, ch)/
+    (nb, ch, 128)/(nb, 1, 128). Forward only (serving/eval path — no VJP).
+    The group's trailing conv + group skip stay outside (wino_conv_quad)."""
+    spec = wino_spec(m, *hw)
+    t = xq.shape[0]
+    nb = ws.shape[0]
+    assert t % bs == 0, (t, bs)
+    n2 = spec.n * spec.n
+    mp = _rup(spec.mflat)
+    xdt = xq.dtype
+    u = jax.vmap(jax.vmap(lambda w: transform_weights(w, m)))(ws).astype(xdt)
+    mask = jnp.asarray(np.pad(interior_mask(spec),
+                              ((0, mp - spec.mflat), (0, 0))))
+    blk = lambda: pl.BlockSpec((bs, spec.m * spec.m, spec.pp, 128),
+                               lambda i, k: (i, 0, 0, 0))
+    kblk = lambda *shape: pl.BlockSpec((1,) + shape,
+                                       lambda i, k: (k,) + (0,) * len(shape))
+    cah = caw1.shape[-1]
+    return pl.pallas_call(
+        functools.partial(_group_fwd_kernel, spec=spec, bs=bs, nb=nb,
+                          npix=hw[0] * hw[1]),
+        grid=(t // bs, nb),
+        in_specs=[
+            blk(),
+            kblk(2, n2, 128, 128),
+            kblk(2, 128),
+            kblk(128, cah), kblk(1, cah), kblk(cah, 128), kblk(1, 128),
+            pl.BlockSpec((mp, 1), lambda i, k: (0, 0)),
+        ],
+        out_specs=blk(),
+        out_shape=jax.ShapeDtypeStruct((t, spec.m * spec.m, spec.pp, 128), xdt),
+        scratch_shapes=[pltpu.VMEM((bs, spec.m * spec.m, spec.pp, 128), xdt),
+                        pltpu.VMEM((bs, spec.m * spec.m, spec.pp, 128), xdt),
+                        pltpu.VMEM((n2, bs, mp, 128), xdt),
+                        pltpu.VMEM((n2, bs, mp, 128), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=110 * 1024 * 1024),
+        interpret=_interpret(),
+    )(xq, u, bvec.reshape(nb, 2, 128).astype(jnp.float32),
+      caw1.astype(jnp.float32), cab1.reshape(nb, 1, cah).astype(jnp.float32),
+      caw2.astype(jnp.float32), cab2.reshape(nb, 1, 128).astype(jnp.float32),
+      mask)
+
+
 # ------------------------------------------------------------- public entry
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
 def wino_conv_quad(xq: jnp.ndarray, w: jnp.ndarray, b: jnp.ndarray,

@@ -101,12 +101,17 @@ def test_rcan_winograd_parity(m):
     x = jnp.asarray(np.random.default_rng(0).normal(
         size=(2, 8, 8, 1)).astype(np.float32))
     v = m_dir.init(jax.random.PRNGKey(0), x)
-    y0, y1 = m_dir.apply(v, x), m_win.apply(v, x)  # same tree or apply raises
-    np.testing.assert_allclose(y1, y0, rtol=0,
-                               atol=3e-5 * float(jnp.max(jnp.abs(y0))))
+    y0 = m_dir.apply(v, x)
+    # train=False -> whole-group chain kernel; train=True -> per-conv kernels
+    # with the exact-adjoint VJP. Same param tree for all three or apply raises.
+    for train in (False, True):
+        y1 = m_win.apply(v, x, train=train)
+        np.testing.assert_allclose(y1, y0, rtol=0,
+                                   atol=3e-5 * float(jnp.max(jnp.abs(y0))),
+                                   err_msg=f"train={train}")
 
     def loss(fn):
-        return lambda p: jnp.sum(fn.apply({"params": p}, x) ** 2)
+        return lambda p: jnp.sum(fn.apply({"params": p}, x, train=True) ** 2)
 
     g0 = jax.grad(loss(m_dir))(v["params"])
     g1 = jax.grad(loss(m_win))(v["params"])
