@@ -80,8 +80,8 @@ def main() -> None:
                    help="2|4: trunk convs via the Pallas Winograd F(m,3) "
                         "kernel (2.25x/4x fewer MACs; parity numerics — "
                         "exact-adjoint gradients, f32 accumulation)")
-    p.add_argument("--wino-bs", type=int, default=1, dest="wino_bs",
-                   help="Winograd kernel samples-per-block")
+    p.add_argument("--wino-bs", type=int, default=0, dest="wino_bs",
+                   help="Winograd kernel samples-per-block (0 = auto)")
     p.add_argument("--scan", type=int, default=0,
                    help="K>0: run K optimizer steps per device dispatch "
                         "(lax.scan over K staged batches) — amortizes "

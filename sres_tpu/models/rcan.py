@@ -38,7 +38,8 @@ class RCAN(nn.Module):
     # ops/pallas/winograd_conv.py). Requires packed channels == 128 and
     # H,W divisible by m; silently falls back to the direct path otherwise.
     # Param tree is identical to the direct path (wino_blocks.py).
-    winograd_bs: int = 1  # samples per kernel block (VMEM/amortization knob)
+    winograd_bs: int = 0  # samples per kernel block; 0 = auto (largest
+    # divisor of the packed batch ≤ 4, the measured optimum — PERF.md)
     remat_trunk: Optional[bool] = None  # checkpoint each residual group.
     # None = auto: ON for int8_full (its custom VJP stashes per-conv int8
     # activations — ~9 GB at batch 144 without remat, which blows HBM and
@@ -67,11 +68,13 @@ class RCAN(nn.Module):
             x = jnp.concatenate([x, jnp.zeros((bpad,) + x.shape[1:], x.dtype)], 0)
         res = pack_tiles(x, pk) if pk > 1 else x
         h, w = res.shape[1], res.shape[2]
+        wbs = self.winograd_bs or next(
+            d for d in (4, 3, 2, 1) if res.shape[0] % d == 0)
         wino = self.winograd if (
             self.winograd and self.kernel_size == 3 and not self.fused
             and not self.quantization and pk * self.nfeatures == 128
             and h % self.winograd == 0 and w % self.winograd == 0
-            and self.winograd_bs > 0 and res.shape[0] % self.winograd_bs == 0
+            and wbs > 0 and res.shape[0] % wbs == 0
         ) else None
         skip = res
         remat = (self.quantization == "int8_full" if self.remat_trunk is None
@@ -89,11 +92,11 @@ class RCAN(nn.Module):
                 # train: per-conv kernels with the exact-adjoint VJP
                 res = WinoResidualGroup(self.nfeatures, self.cbottleneck,
                                         self.nblocks, wino, (h, w), pk,
-                                        self.winograd_bs, chain=not train,
+                                        wbs, chain=not train,
                                         dtype=d,
                                         name=f"ResidualGroup_{i}")(res)
             res = WinoConv(self.nfeatures, pk, wino, (h, w), relu=False,
-                           use_bias=self.use_bias, bs=self.winograd_bs,
+                           use_bias=self.use_bias, bs=wbs,
                            dtype=d, name="Conv_1")(res)
             res = from_quad(res + skip_q, spec).astype(skip.dtype)
         else:
@@ -136,7 +139,7 @@ def build(model_cfg, nchannels_in: int, nchannels_out: int, dtype=None, temporal
     p = resolve_parms(model_cfg, dict(cbottleneck=2, nblocks=20, fused=False,
                                       pervar_heads=False, lane_pack=1,
                                       quantization=None, remat_trunk=None,
-                                      winograd=None, winograd_bs=1),
+                                      winograd=None, winograd_bs=0),
                       nchannels_in=nchannels_in, nchannels_out=nchannels_out)
     return RCAN(
         nchannels_in=p["nchannels_in"], nchannels_out=p["nchannels_out"],

@@ -88,6 +88,55 @@ def test_kernel_gradients(m, relu):
 
 
 @pytest.mark.parametrize("m", [2, 4])
+def test_chain_kernel_forward(m):
+    """wino_chain_fwd: K chained conv+relu in one pallas_call (resident
+    activations) matches the direct conv chain."""
+    from sres_tpu.ops.pallas.winograd_conv import wino_chain_fwd
+    rng = np.random.default_rng(3)
+    t, h, k = 4, 8, 3
+    x = jnp.asarray(rng.normal(size=(t, h, h, 128)).astype(np.float32))
+    ws = jnp.asarray((rng.normal(size=(k, 3, 3, 128, 128)) * 0.05).astype(np.float32))
+    bv = jnp.asarray((rng.normal(size=(k, 128)) * 0.05).astype(np.float32))
+    y = x
+    for i in range(k):
+        y = direct(y, ws[i], bv[i], relu=True)
+    spec = wino_spec(m, h, h)
+    out = from_quad(wino_chain_fwd(to_quad(x, spec), ws, bv, m, (h, h), 2),
+                    spec)
+    np.testing.assert_allclose(out, y, rtol=0,
+                               atol=3e-5 * float(jnp.max(jnp.abs(y))))
+
+
+@pytest.mark.parametrize("m", [2, 4])
+def test_group_kernel_forward(m):
+    """wino_group_fwd: a 2-RCAB stack (conv+relu→conv→CA→skip per block) in
+    one pallas_call matches the composed per-conv path."""
+    from sres_tpu.ops.pallas.winograd_conv import wino_group_fwd
+    rng = np.random.default_rng(4)
+    t, h, nb, cah = 4, 8, 2, 64
+    x = jnp.asarray(rng.normal(size=(t, h, h, 128)).astype(np.float32))
+    ws = jnp.asarray((rng.normal(size=(nb, 2, 3, 3, 128, 128)) * 0.05).astype(np.float32))
+    bv = jnp.asarray((rng.normal(size=(nb, 2, 128)) * 0.05).astype(np.float32))
+    cw1 = jnp.asarray((rng.normal(size=(nb, 128, cah)) * 0.1).astype(np.float32))
+    cb1 = jnp.asarray((rng.normal(size=(nb, cah)) * 0.1).astype(np.float32))
+    cw2 = jnp.asarray((rng.normal(size=(nb, cah, 128)) * 0.1).astype(np.float32))
+    cb2 = jnp.asarray((rng.normal(size=(nb, 128)) * 0.1).astype(np.float32))
+    q = x
+    for i in range(nb):
+        r = direct(q, ws[i, 0], bv[i, 0], relu=True)
+        r = direct(r, ws[i, 1], bv[i, 1], relu=False)
+        mean = jnp.mean(r, axis=(1, 2))                      # (t, 128)
+        g = jnp.maximum(mean @ cw1[i] + cb1[i], 0.0)
+        g = jax.nn.sigmoid(g @ cw2[i] + cb2[i])
+        q = q + r * g[:, None, None, :]
+    spec = wino_spec(m, h, h)
+    out = from_quad(wino_group_fwd(to_quad(x, spec), ws, bv, cw1, cb1,
+                                   cw2, cb2, m, (h, h), 2), spec)
+    np.testing.assert_allclose(out, q, rtol=0,
+                               atol=3e-5 * float(jnp.max(jnp.abs(q))))
+
+
+@pytest.mark.parametrize("m", [2, 4])
 def test_rcan_winograd_parity(m):
     """model.winograd runs the whole lane-packed trunk through the kernel
     with the SAME param tree as the direct path: forward and gradients
