@@ -88,12 +88,13 @@ class RCAN(nn.Module):
             res = to_quad(res.astype(d) if d else res, spec)
             skip_q = res
             for i in range(self.nlayers):
-                # eval/serve (no gradients needed): whole-group chain kernel;
-                # train: per-conv kernels with the exact-adjoint VJP
+                # whole-group chain kernels for BOTH train and eval: the
+                # custom VJP (ops/pallas/wino_group_grad.py) remats the
+                # group from a per-RCAB input stash, so per-conv kernels
+                # are only the fallback building block (trailing conv)
                 res = WinoResidualGroup(self.nfeatures, self.cbottleneck,
                                         self.nblocks, wino, (h, w), pk,
-                                        wbs, chain=not train,
-                                        dtype=d,
+                                        wbs, chain=True, dtype=d,
                                         name=f"ResidualGroup_{i}")(res)
             res = WinoConv(self.nfeatures, pk, wino, (h, w), relu=False,
                            use_bias=self.use_bias, bs=wbs,

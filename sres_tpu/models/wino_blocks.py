@@ -156,12 +156,14 @@ class WinoRCAB(nn.Module):
 class WinoResidualGroup(nn.Module):
     """nblocks × WinoRCAB + trailing conv + group skip, all on quad planes.
 
-    ``chain=True`` (forward-only: serving/eval) runs the whole RCAB stack in
-    ONE pallas_call (ops/pallas/winograd_conv.py:wino_group_fwd) — the
+    ``chain=True`` runs the whole RCAB stack in ONE pallas_call — the
     round-3 bisection measured the per-conv kernel's block pipeline at 65%
-    of its wall time, which chaining amortizes across the group. The param
-    tree is identical to chain=False (the same child modules declare the
-    params in collect mode)."""
+    of its wall time, which chaining amortizes across the group. It is
+    fully differentiable: ops/pallas/wino_group_grad.py's custom VJP
+    recomputes the chain with a per-RCAB input stash, then runs reversed
+    chunked backward kernels (exact adjoints, gradchecked). The param tree
+    is identical to chain=False (the same child modules declare the params
+    in collect mode)."""
     features: int
     reduction: int
     nblocks: int
@@ -175,7 +177,7 @@ class WinoResidualGroup(nn.Module):
     @nn.compact
     def __call__(self, q: jnp.ndarray) -> jnp.ndarray:
         if self.chain:
-            from sres_tpu.ops.pallas.winograd_conv import wino_group_fwd
+            from sres_tpu.ops.pallas.wino_group_grad import wino_group
             ws, bv, cw1, cb1, cw2, cb2 = [], [], [], [], [], []
             for i in range(self.nblocks):
                 w2, b2, a1, ab1, a2, ab2 = WinoRCAB(
@@ -184,10 +186,10 @@ class WinoResidualGroup(nn.Module):
                     name=f"RCAB_{i}")(q, collect=True)
                 ws.append(w2); bv.append(b2); cw1.append(a1)
                 cb1.append(ab1); cw2.append(a2); cb2.append(ab2)
-            r = wino_group_fwd(q, jnp.stack(ws), jnp.stack(bv),
-                               jnp.stack(cw1), jnp.stack(cb1),
-                               jnp.stack(cw2), jnp.stack(cb2),
-                               self.m, self.hw, self.bs)
+            r = wino_group(q, jnp.stack(ws), jnp.stack(bv),
+                           jnp.stack(cw1), jnp.stack(cb1),
+                           jnp.stack(cw2), jnp.stack(cb2),
+                           self.m, self.hw, self.bs)
         else:
             r = q
             for i in range(self.nblocks):

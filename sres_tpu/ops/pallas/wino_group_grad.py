@@ -1,0 +1,448 @@
+"""Differentiable whole-group Winograd RCAB chain: custom VJP over
+ops/pallas/winograd_conv.py:wino_group_fwd.
+
+Why: the round-3 bisection (PERF.md) measured the per-conv Winograd
+kernel's block pipeline at 0.163 ms/conv against 0.090 ms of actual
+transform+GEMM work, and the per-conv BACKWARD is pipeline-bound outright
+(0.32 ms/conv ≈ its 4-operand block I/O). This module keeps the backward's
+activations/cotangent resident in VMEM across the whole RCAB stack
+(reference RCAB semantics: sres/model/rcan/network.py:50-66):
+
+- forward = wino_group_fwd (one pallas_call per residual group); the only
+  VJP residuals are the group input and the weights — no per-conv stash,
+- backward = (1) a recompute sweep (`_stash_call`) that replays the chain
+  and writes each RCAB's INPUT a_k to HBM (remat-style: one group's stash
+  is alive at a time, ~0.5 GB at the bench operating point), then
+  (2) reversed CHUNKED backward kernels (`_bwd_chunk_call`, NB_CHUNK RCABs
+  per pallas_call): grid (samples, k) with k running the chunk in reverse,
+  the cotangent carried in f32 scratch, conv1/conv2/channel-attention
+  recomputed in-kernel from a_k, and dU/db/CA grads accumulated into
+  constant-index output blocks that stay VMEM-resident for the whole call
+  (the f32 dU accumulator is what bounds the chunk size: 4 RCABs = 19 MB).
+
+Gradients are EXACT adjoints of the forward math (same guarantee as
+wino_conv_quad's VJP — tested against jax.grad of the composed direct-conv
+reference in tests/test_winograd.py).
+"""
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from sres_tpu.ops.pallas.winograd_conv import (_combine, _interpret, _nz,
+                                               _rup, wino_group_fwd)
+from sres_tpu.ops.winograd import (WinoSpec, interior_mask,
+                                   untransform_weight_grad,
+                                   transform_weights, wino_spec)
+
+# RCABs per backward pallas_call — bounds the resident f32 dU accumulator
+# (NB_CHUNK × 2 convs × n² taps × 128 × 128 × 4 B ≈ 19 MB at m=4).
+NB_CHUNK = 4
+
+
+def _idx(n, i, j):
+    return i * n + j
+
+
+def _conv_fwd(src, dst, u_at, bias, relu, *, spec, bs, w1, mm, mask, xdt):
+    """One Winograd conv unit on resident quad planes (shared by the stash
+    sweep and the in-kernel recompute): stage1(src) → tap GEMMs → inverse
+    (+bias, +relu) into dst. dst's borders must already be zero."""
+    m, n = spec.m, spec.n
+    mflat, mp = spec.mflat, _rup(spec.mflat)
+    bt, at = spec.bt, spec.at
+    for p in range(n):
+        taps = {}
+        for q in range(n):
+            pidx, off = spec.in_tap(p, q)
+            taps[q] = src[:, pidx, pl.ds(off, mflat), :]
+        for tj in range(n):
+            acc = _combine([(c, taps[q]) for c, q in _nz(bt[tj])])
+            w1[_idx(n, p, tj), :, pl.ds(0, mflat), :] = acc.astype(xdt)
+    for ti in range(n):
+        for tj in range(n):
+            v = _combine([(c, w1[_idx(n, p, tj), :, :, :])
+                          for c, p in _nz(bt[ti])])
+            mm[_idx(n, ti, tj), :, :, :] = jnp.dot(
+                v.astype(xdt).reshape(bs * mp, 128), u_at(_idx(n, ti, tj)),
+                preferred_element_type=jnp.float32).reshape(bs, mp, 128)
+    for u in range(m):
+        zrow = {}
+        for tj in range(n):
+            zrow[tj] = _combine([(c, mm[_idx(n, ti, tj), :, pl.ds(0, mflat), :])
+                                 for c, ti in _nz(at[u])])
+        for v_ in range(m):
+            y = _combine([(c, zrow[tj]) for c, tj in _nz(at[v_])]) + bias
+            if relu:
+                y = jnp.maximum(y, 0.0)
+            pidx, off = spec.out_tap(u, v_)
+            dst[:, pidx, pl.ds(off, mflat), :] = (y * mask).astype(xdt)
+
+
+def _ca_fwd(rb, cw1, cb1, cw2, cb2, *, npix):
+    """Channel attention forward on resident planes (borders zero ⇒ plane
+    sum / npix is the true spatial mean). Returns (s, h, g) in f32."""
+    s = jnp.sum(rb[:, :, :, :].astype(jnp.float32), axis=(1, 2)) \
+        * np.float32(1.0 / npix)
+    h = jnp.maximum(jnp.dot(s, cw1, preferred_element_type=jnp.float32)
+                    + cb1, 0.0)
+    g = jax.nn.sigmoid(jnp.dot(h, cw2, preferred_element_type=jnp.float32)
+                       + cb2)
+    return s, h, g
+
+
+# ------------------------------------------------------------ stash sweep
+def _stash_kernel(xq_ref, u_ref, b_ref, cw1_ref, cb1_ref, cw2_ref, cb2_ref,
+                  mask_ref, as_ref, qc, rb, w1, mm,
+                  *, spec: WinoSpec, bs: int, npix: int):
+    mflat, mp = spec.mflat, _rup(spec.mflat)
+    xdt = xq_ref.dtype
+    mask = mask_ref[pl.ds(0, mflat), :]
+    k = pl.program_id(1)
+
+    @pl.when((pl.program_id(0) == 0) & (k == 0))
+    def _zero_scratch():
+        w1[:] = jnp.zeros_like(w1)
+
+    @pl.when(k == 0)
+    def _load_block():
+        qc[:] = xq_ref[:]
+
+    # a_k = this RCAB's input → HBM stash
+    as_ref[:, 0] = qc[:]
+
+    kw = dict(spec=spec, bs=bs, w1=w1, mm=mm, mask=mask, xdt=xdt)
+    rb[:] = jnp.zeros_like(rb)
+    _conv_fwd(qc, rb, lambda i: u_ref[0, 0, i],
+              b_ref[0, 0, :].astype(jnp.float32), True, **kw)
+    _conv_fwd(rb, rb, lambda i: u_ref[0, 1, i],
+              b_ref[0, 1, :].astype(jnp.float32), False, **kw)
+    _, _, g = _ca_fwd(rb, cw1_ref[0], cb1_ref[0], cw2_ref[0], cb2_ref[0],
+                      npix=npix)
+    qc[:] = (qc[:].astype(jnp.float32)
+             + rb[:].astype(jnp.float32) * g[:, None, None, :]).astype(xdt)
+
+
+def _stash_call(xq, u, bv, cw1, cb1, cw2, cb2, spec: WinoSpec, bs: int,
+                npix: int):
+    t = xq.shape[0]
+    nb = u.shape[0]
+    n2 = spec.n * spec.n
+    mp = _rup(spec.mflat)
+    m2 = spec.m * spec.m
+    xdt = xq.dtype
+    cah = cw1.shape[-1]
+    mask = jnp.asarray(np.pad(interior_mask(spec),
+                              ((0, mp - spec.mflat), (0, 0))))
+    blk = pl.BlockSpec((bs, m2, spec.pp, 128), lambda i, k: (i, 0, 0, 0))
+    kblk = lambda *shape: pl.BlockSpec((1,) + shape,
+                                       lambda i, k: (k,) + (0,) * len(shape))
+    return pl.pallas_call(
+        functools.partial(_stash_kernel, spec=spec, bs=bs, npix=npix),
+        grid=(t // bs, nb),
+        in_specs=[blk, kblk(2, n2, 128, 128), kblk(2, 128),
+                  kblk(128, cah), kblk(1, cah), kblk(cah, 128), kblk(1, 128),
+                  pl.BlockSpec((mp, 1), lambda i, k: (0, 0))],
+        out_specs=pl.BlockSpec((bs, 1, m2, spec.pp, 128),
+                               lambda i, k: (i, k, 0, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((t, nb, m2, spec.pp, 128), xdt),
+        scratch_shapes=[pltpu.VMEM((bs, m2, spec.pp, 128), xdt),
+                        pltpu.VMEM((bs, m2, spec.pp, 128), xdt),
+                        pltpu.VMEM((n2, bs, mp, 128), xdt),
+                        pltpu.VMEM((n2, bs, mp, 128), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=110 * 1024 * 1024),
+        interpret=_interpret(),
+    )(xq, u, bv, cw1, cb1, cw2, cb2, mask)
+
+
+# -------------------------------------------------------- backward chunk
+def _conv_adj(dc_fn, src, dprev, u_at, du_at, *, spec, bs, w1, zz, gm, dxa,
+              mask, xdt, accum_dprev):
+    """Exact adjoint of one conv unit on resident planes.
+
+    dc_fn(pidx, off) returns the (bs, mflat, 128) f32 GATED output cotangent
+    at that quad position (the caller applies relu gating / CA scaling);
+    src = the conv's input planes (for V and dU); du_at(tap, val) adds the
+    tap's weight-grad contribution. The input cotangent lands in dprev (f32
+    scratch; += if accum_dprev). Returns the bias grad ((1, 128) f32)."""
+    m, n = spec.m, spec.n
+    mflat, mp = spec.mflat, _rup(spec.mflat)
+    bt, at = spec.bt, spec.at
+
+    # dM-adjoint of the cotangent + bias grad
+    db = jnp.zeros((1, 1, 128), jnp.float32)
+    for u in range(m):
+        gtap = {}
+        for v_ in range(m):
+            pidx, off = spec.out_tap(u, v_)
+            gt = dc_fn(pidx, off)
+            db = db + jnp.sum(gt, axis=(0, 1), keepdims=True)
+            gtap[v_] = gt
+        for tj in range(n):
+            acc = _combine([(c, gtap[v_]) for c, v_ in _nz(at[:, tj])])
+            zz[u * n + tj, :, pl.ds(0, mflat), :] = acc.astype(xdt)
+
+    # V recompute from src
+    for p in range(n):
+        taps = {}
+        for q in range(n):
+            pidx, off = spec.in_tap(p, q)
+            taps[q] = src[:, pidx, pl.ds(off, mflat), :]
+        for tj in range(n):
+            acc = _combine([(c, taps[q]) for c, q in _nz(bt[tj])])
+            w1[_idx(n, p, tj), :, pl.ds(0, mflat), :] = acc.astype(xdt)
+
+    # per tap: dM; dU += VᵀdM; dv = dM·Uᵀ
+    for ti in range(n):
+        for tj in range(n):
+            g_tap = _combine([(c, zz[u * n + tj, :, :, :])
+                              for c, u in _nz(at[:, ti])])
+            g_bf = g_tap.astype(xdt).reshape(bs * mp, 128)
+            v = _combine([(c, w1[_idx(n, p, tj), :, :, :])
+                          for c, p in _nz(bt[ti])]).astype(xdt).reshape(bs * mp, 128)
+            du_at(_idx(n, ti, tj), jax.lax.dot_general(
+                v, g_bf, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32))
+            dv = jax.lax.dot_general(
+                g_bf, u_at(_idx(n, ti, tj)), (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            gm[_idx(n, ti, tj), :, :, :] = dv.reshape(bs, mp, 128).astype(xdt)
+
+    # dx 2-stage into dxa, then into dprev (w1 is free to reuse here)
+    for ti in range(n):
+        for q in range(n):
+            acc = _combine([(c, gm[_idx(n, ti, tj), :, :, :])
+                            for c, tj in _nz(bt[:, q])])
+            w1[_idx(n, ti, q), :, :, :] = acc.astype(xdt)
+    dxa[:] = jnp.zeros_like(dxa)
+    for p in range(n):
+        for q in range(n):
+            dd = _combine([(c, w1[_idx(n, ti, q), :, pl.ds(0, mflat), :])
+                           for c, ti in _nz(bt[:, p])])
+            pidx, off = spec.in_tap(p, q)
+            dxa[:, pidx, pl.ds(off, mflat), :] += dd * mask
+    if accum_dprev:
+        dprev[:] = dprev[:] + dxa[:]
+    else:
+        dprev[:] = dxa[:]
+    return db[0]
+
+
+def _bwd_chunk_kernel(dy_ref, as_ref, u_ref, b_ref, cw1_ref, cb1_ref,
+                      cw2_ref, cb2_ref, mask_ref,
+                      dx_ref, du_ref, db_ref, dcw1_ref, dcb1_ref, dcw2_ref,
+                      dcb2_ref,
+                      da, dc, c1, c2, w1, zz, gm, dxa, mm,
+                      *, spec: WinoSpec, bs: int, nbc: int, npix: int):
+    m, n = spec.m, spec.n
+    mflat, mp = spec.mflat, _rup(spec.mflat)
+    xdt = as_ref.dtype
+    mask = mask_ref[pl.ds(0, mflat), :]
+    kk = pl.program_id(1)           # 0..nbc-1, processing RCAB nbc-1-kk
+    kloc = nbc - 1 - kk             # chunk-local RCAB index for grad slots
+
+    @pl.when((pl.program_id(0) == 0) & (kk == 0))
+    def _zero_grads():
+        # w1/zz tail rows (mflat..mp) are never written but ARE contracted
+        # over by the full-row dU GEMMs — they must read as zero
+        w1[:] = jnp.zeros_like(w1)
+        zz[:] = jnp.zeros_like(zz)
+        du_ref[:] = jnp.zeros_like(du_ref)
+        db_ref[:] = jnp.zeros_like(db_ref)
+        dcw1_ref[:] = jnp.zeros_like(dcw1_ref)
+        dcb1_ref[:] = jnp.zeros_like(dcb1_ref)
+        dcw2_ref[:] = jnp.zeros_like(dcw2_ref)
+        dcb2_ref[:] = jnp.zeros_like(dcb2_ref)
+
+    @pl.when(kk == 0)
+    def _load_cotangent():
+        da[:] = dy_ref[:]
+
+    kw = dict(spec=spec, bs=bs, w1=w1, mm=mm, mask=mask, xdt=xdt)
+    akw = dict(spec=spec, bs=bs, w1=w1, zz=zz, gm=gm, dxa=dxa, mask=mask,
+               xdt=xdt)
+
+    # ---- recompute the RCAB forward from the stashed input a_k
+    # (input-side refs are reverse-index-mapped: [0] is always RCAB nbc-1-kk)
+    a = as_ref.at[:, 0]
+    c1[:] = jnp.zeros_like(c1)
+    _conv_fwd(a, c1, lambda i: u_ref[0, 0, i],
+              b_ref[0, 0, :].astype(jnp.float32), True, **kw)
+    c2[:] = jnp.zeros_like(c2)
+    _conv_fwd(c1, c2, lambda i: u_ref[0, 1, i],
+              b_ref[0, 1, :].astype(jnp.float32), False, **kw)
+    s, h, g = _ca_fwd(c2, cw1_ref[0], cb1_ref[0], cw2_ref[0], cb2_ref[0],
+                      npix=npix)
+
+    # ---- channel-attention backward (da = cotangent of the RCAB output)
+    dg = jnp.sum(da[:, :, :, :] * c2[:, :, :, :].astype(jnp.float32),
+                 axis=(1, 2))                                   # (bs, 128)
+    dz2 = dg * g * (1.0 - g)
+    dcb2_ref[kloc] += jnp.sum(dz2, axis=0, keepdims=True)
+    dcw2_ref[kloc] += jax.lax.dot_general(
+        h, dz2, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)                     # (cah, 128)
+    dh = jax.lax.dot_general(dz2, cw2_ref[0], (((1,), (1,)), ((), ())),
+                             preferred_element_type=jnp.float32)  # (bs, cah)
+    dz1 = jnp.where(h > 0.0, dh, 0.0)
+    dcb1_ref[kloc] += jnp.sum(dz1, axis=0, keepdims=True)
+    dcw1_ref[kloc] += jax.lax.dot_general(
+        s, dz1, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)                     # (128, cah)
+    ds = jax.lax.dot_general(dz1, cw1_ref[0], (((1,), (1,)), ((), ())),
+                             preferred_element_type=jnp.float32)  # (bs, 128)
+    ds = ds * np.float32(1.0 / npix)
+
+    # ---- conv2 adjoint: dc2 = da·g + ds (interior only; dc_fn applies mask)
+    def dc2_fn(pidx, off):
+        sl = da[:, pidx, pl.ds(off, mflat), :]
+        return (sl * g[:, None, :] + ds[:, None, :]) * mask
+
+    db2 = _conv_adj(dc2_fn, c1, dc, lambda i: u_ref[0, 1, i],
+                    lambda i, val: du_ref.__setitem__(
+                        (kloc, 1, i), du_ref[kloc, 1, i] + val),
+                    accum_dprev=False, **akw)
+    db_ref[kloc, 1] += db2[0]
+
+    # ---- conv1 adjoint: relu gate by the recomputed post-relu c1
+    def dc1_fn(pidx, off):
+        sl = dc[:, pidx, pl.ds(off, mflat), :]
+        act = c1[:, pidx, pl.ds(off, mflat), :].astype(jnp.float32)
+        return jnp.where(act > 0.0, sl, 0.0) * mask
+
+    db1 = _conv_adj(dc1_fn, a, da, lambda i: u_ref[0, 0, i],
+                    lambda i, val: du_ref.__setitem__(
+                        (kloc, 0, i), du_ref[kloc, 0, i] + val),
+                    accum_dprev=True, **akw)
+    db_ref[kloc, 0] += db1[0]
+
+    @pl.when(kk == nbc - 1)
+    def _store_cotangent():
+        dx_ref[:] = da[:]
+
+
+def _bwd_chunk_call(dy, astash, u, bv, cw1, cb1, cw2, cb2,
+                    spec: WinoSpec, bs: int, npix: int):
+    """Backward over one chunk of RCABs (reversed in-kernel). dy: f32
+    (T, m², PP, 128) cotangent of the chunk output; astash: (T, nbc, …)
+    stashed RCAB inputs. Returns (dx f32, du f32, db, dcw1, dcb1, dcw2,
+    dcb2)."""
+    t = dy.shape[0]
+    nbc = u.shape[0]
+    n2 = spec.n * spec.n
+    mp = _rup(spec.mflat)
+    m2 = spec.m * spec.m
+    xdt = astash.dtype
+    cah = cw1.shape[-1]
+    mask = jnp.asarray(np.pad(interior_mask(spec),
+                              ((0, mp - spec.mflat), (0, 0))))
+    fblk = pl.BlockSpec((bs, m2, spec.pp, 128), lambda i, k: (i, 0, 0, 0))
+    # reverse index maps: kernel step kk processes RCAB nbc-1-kk
+    rkblk = lambda *shape: pl.BlockSpec(
+        (1,) + shape, lambda i, k, _n=nbc: (_n - 1 - k,) + (0,) * len(shape))
+    out_k = lambda *shape: pl.BlockSpec(
+        shape, lambda i, k: (0,) * len(shape))
+    return pl.pallas_call(
+        functools.partial(_bwd_chunk_kernel, spec=spec, bs=bs, nbc=nbc,
+                          npix=npix),
+        grid=(t // bs, nbc),
+        in_specs=[fblk,
+                  pl.BlockSpec((bs, 1, m2, spec.pp, 128),
+                               lambda i, k, _n=nbc: (i, _n - 1 - k, 0, 0, 0)),
+                  rkblk(2, n2, 128, 128), rkblk(2, 128),
+                  rkblk(128, cah), rkblk(1, cah), rkblk(cah, 128),
+                  rkblk(1, 128),
+                  pl.BlockSpec((mp, 1), lambda i, k: (0, 0))],
+        out_specs=(fblk,
+                   out_k(nbc, 2, n2, 128, 128),
+                   out_k(nbc, 2, 128),
+                   out_k(nbc, 128, cah), out_k(nbc, 1, cah),
+                   out_k(nbc, cah, 128), out_k(nbc, 1, 128)),
+        out_shape=(jax.ShapeDtypeStruct((t, m2, spec.pp, 128), jnp.float32),
+                   jax.ShapeDtypeStruct((nbc, 2, n2, 128, 128), jnp.float32),
+                   jax.ShapeDtypeStruct((nbc, 2, 128), jnp.float32),
+                   jax.ShapeDtypeStruct((nbc, 128, cah), jnp.float32),
+                   jax.ShapeDtypeStruct((nbc, 1, cah), jnp.float32),
+                   jax.ShapeDtypeStruct((nbc, cah, 128), jnp.float32),
+                   jax.ShapeDtypeStruct((nbc, 1, 128), jnp.float32)),
+        scratch_shapes=[pltpu.VMEM((bs, m2, spec.pp, 128), jnp.float32),
+                        pltpu.VMEM((bs, m2, spec.pp, 128), jnp.float32),
+                        pltpu.VMEM((bs, m2, spec.pp, 128), xdt),
+                        pltpu.VMEM((bs, m2, spec.pp, 128), xdt),
+                        pltpu.VMEM((n2, bs, mp, 128), xdt),
+                        pltpu.VMEM((spec.m * spec.n, bs, mp, 128), xdt),
+                        pltpu.VMEM((n2, bs, mp, 128), xdt),
+                        pltpu.VMEM((bs, m2, spec.pp, 128), jnp.float32),
+                        pltpu.VMEM((n2, bs, mp, 128), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=128 * 1024 * 1024),
+        interpret=_interpret(),
+    )(dy, astash, u, bv, cw1, cb1, cw2, cb2, mask)
+
+
+# ------------------------------------------------------------ public entry
+@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9))
+def wino_group(xq: jnp.ndarray, ws: jnp.ndarray, bvec: jnp.ndarray,
+               caw1: jnp.ndarray, cab1: jnp.ndarray,
+               caw2: jnp.ndarray, cab2: jnp.ndarray,
+               m: int, hw: Tuple[int, int], bs: int = 4) -> jnp.ndarray:
+    """Differentiable whole-group RCAB chain (same signature/semantics as
+    wino_group_fwd). Forward cost = one pallas_call per group; backward =
+    one stash sweep + ceil(nb/NB_CHUNK) reversed chunk kernels."""
+    return wino_group_fwd(xq, ws, bvec, caw1, cab1, caw2, cab2, m, hw, bs)
+
+
+def _prep(ws, bvec, cab1, cab2, m, xdt):
+    nb = ws.shape[0]
+    cah = cab1.shape[-1]
+    u = jax.vmap(jax.vmap(lambda w: transform_weights(w, m)))(ws).astype(xdt)
+    return (u, bvec.reshape(nb, 2, 128).astype(jnp.float32),
+            cab1.reshape(nb, 1, cah).astype(jnp.float32),
+            cab2.reshape(nb, 1, 128).astype(jnp.float32))
+
+
+def _vjp_fwd(xq, ws, bvec, caw1, cab1, caw2, cab2, m, hw, bs):
+    y = wino_group_fwd(xq, ws, bvec, caw1, cab1, caw2, cab2, m, hw, bs)
+    return y, (xq, ws, bvec, caw1, cab1, caw2, cab2)
+
+
+def _vjp_bwd(m, hw, bs, res, dy):
+    xq, ws, bvec, caw1, cab1, caw2, cab2 = res
+    spec = wino_spec(m, *hw)
+    npix = hw[0] * hw[1]
+    nb = ws.shape[0]
+    xdt = xq.dtype
+    u, bv, cb1, cb2 = _prep(ws, bvec, cab1, cab2, m, xdt)
+    cw1 = caw1.astype(jnp.float32)
+    cw2 = caw2.astype(jnp.float32)
+    astash = _stash_call(xq, u, bv, cw1, cb1, cw2, cb2, spec, bs, npix)
+    da = dy.astype(jnp.float32)
+    offs = list(range(0, nb, NB_CHUNK))
+    dus, dbs, dw1s, db1s, dw2s, db2s = [], [], [], [], [], []
+    for off in reversed(offs):
+        sl = slice(off, min(off + NB_CHUNK, nb))
+        da, du_c, db_c, dcw1_c, dcb1_c, dcw2_c, dcb2_c = _bwd_chunk_call(
+            da, astash[:, sl], u[sl], bv[sl], cw1[sl], cb1[sl], cw2[sl],
+            cb2[sl], spec, bs, npix)
+        dus.append(du_c); dbs.append(db_c); dw1s.append(dcw1_c)
+        db1s.append(dcb1_c); dw2s.append(dcw2_c); db2s.append(dcb2_c)
+    cat = lambda xs: jnp.concatenate(xs[::-1], axis=0)
+    du = cat(dus)                                   # (nb, 2, n², 128, 128)
+    dws = jax.vmap(jax.vmap(
+        lambda d: untransform_weight_grad(d, m)))(du).astype(ws.dtype)
+    return (da.astype(xdt), dws,
+            cat(dbs).astype(bvec.dtype),
+            cat(dw1s).astype(caw1.dtype),
+            cat(db1s).reshape(nb, -1).astype(cab1.dtype),
+            cat(dw2s).astype(caw2.dtype),
+            cat(db2s).reshape(nb, -1).astype(cab2.dtype))
+
+
+wino_group.defvjp(_vjp_fwd, _vjp_bwd)

@@ -136,6 +136,51 @@ def test_group_kernel_forward(m):
                                atol=3e-5 * float(jnp.max(jnp.abs(q))))
 
 
+def test_group_vjp_gradcheck():
+    """wino_group (whole-group custom VJP: stash sweep + reversed chunked
+    backward kernels) — every gradient matches jax.grad of the composed
+    direct-conv reference to f32 roundoff. nb=5 > NB_CHUNK exercises the
+    ragged chunking."""
+    from sres_tpu.ops.pallas.wino_group_grad import wino_group
+    rng = np.random.default_rng(7)
+    t, hh, nb, cah, m = 4, 8, 5, 64, 4
+    x = jnp.asarray(rng.normal(size=(t, hh, hh, 128)).astype(np.float32))
+    ws = jnp.asarray((rng.normal(size=(nb, 2, 3, 3, 128, 128)) * 0.05).astype(np.float32))
+    bv = jnp.asarray((rng.normal(size=(nb, 2, 128)) * 0.05).astype(np.float32))
+    cw1 = jnp.asarray((rng.normal(size=(nb, 128, cah)) * 0.1).astype(np.float32))
+    cb1 = jnp.asarray((rng.normal(size=(nb, cah)) * 0.1).astype(np.float32))
+    cw2 = jnp.asarray((rng.normal(size=(nb, cah, 128)) * 0.1).astype(np.float32))
+    cb2 = jnp.asarray((rng.normal(size=(nb, 128)) * 0.1).astype(np.float32))
+
+    def ref(x, ws, bv, cw1, cb1, cw2, cb2):
+        q = x
+        for i in range(nb):
+            r = direct(q, ws[i, 0], bv[i, 0], relu=True)
+            r = direct(r, ws[i, 1], bv[i, 1], relu=False)
+            mean = jnp.mean(r, axis=(1, 2))
+            g = jnp.maximum(mean @ cw1[i] + cb1[i], 0.0)
+            g = jax.nn.sigmoid(g @ cw2[i] + cb2[i])
+            q = q + r * g[:, None, None, :]
+        return q
+
+    spec = wino_spec(m, hh, hh)
+
+    def ours(x, ws, bv, cw1, cb1, cw2, cb2):
+        return from_quad(wino_group(to_quad(x, spec), ws, bv, cw1, cb1,
+                                    cw2, cb2, m, (hh, hh), 2), spec)
+
+    loss = lambda f: lambda *a: jnp.sum(f(*a) ** 2)
+    g0 = jax.grad(loss(ref), argnums=tuple(range(7)))(x, ws, bv, cw1, cb1,
+                                                      cw2, cb2)
+    g1 = jax.grad(loss(ours), argnums=tuple(range(7)))(x, ws, bv, cw1, cb1,
+                                                       cw2, cb2)
+    for nm, a, b in zip(["dx", "dws", "dbv", "dcw1", "dcb1", "dcw2", "dcb2"],
+                        g0, g1):
+        np.testing.assert_allclose(
+            b, a, rtol=0, atol=3e-5 * float(jnp.max(jnp.abs(a)) + 1e-30),
+            err_msg=nm)
+
+
 @pytest.mark.parametrize("m", [2, 4])
 def test_rcan_winograd_parity(m):
     """model.winograd runs the whole lane-packed trunk through the kernel
