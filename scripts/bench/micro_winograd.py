@@ -121,20 +121,56 @@ def main():
             return from_quad(q, spec)
         return f
 
+    # ---- RCAB-group A/B (conv+relu → conv → CA → skip, ×nblocks): the
+    # production decision for model.winograd (wino_group = one pallas_call
+    # per group, differentiable via the chunked-backward VJP)
+    NB = max(1, args.nconvs // 2)
+    rng2 = np.random.default_rng(1)
+    gws = jnp.asarray((rng2.normal(size=(NB, 2, 3, 3, 128, 128)) * 0.03).astype(np.float32))
+    gbv = jnp.asarray((rng2.normal(size=(NB, 2, 128)) * 0.01).astype(np.float32))
+    cah = 64
+    gcw1 = jnp.asarray((rng2.normal(size=(NB, 128, cah)) * 0.1).astype(np.float32))
+    gcb1 = jnp.asarray((rng2.normal(size=(NB, cah)) * 0.1).astype(np.float32))
+    gcw2 = jnp.asarray((rng2.normal(size=(NB, cah, 128)) * 0.1).astype(np.float32))
+    gcb2 = jnp.asarray((rng2.normal(size=(NB, 128)) * 0.1).astype(np.float32))
+    gargs = (gws, gbv, gcw1, gcb1, gcw2, gcb2)
+
+    def group_direct(x, *g):
+        ws_, bv_, cw1_, cb1_, cw2_, cb2_ = g
+        q = x
+        for i in range(NB):
+            r = jax.nn.relu(conv(q, ws_[i, 0].astype(dtype), bv_[i, 0].astype(dtype)))
+            r = conv(r, ws_[i, 1].astype(dtype), bv_[i, 1].astype(dtype))
+            mean = jnp.mean(r.astype(jnp.float32), axis=(1, 2))
+            gt = jax.nn.relu(mean @ cw1_[i] + cb1_[i])
+            gt = jax.nn.sigmoid(gt @ cw2_[i] + cb2_[i])
+            q = q + (r.astype(jnp.float32) * gt[:, None, None, :]).astype(dtype)
+        return q
+
+    def group_wino(m):
+        from sres_tpu.ops.pallas.wino_group_grad import wino_group
+        spec = wino_spec(m, HW, HW)
+
+        def f(x, *g):
+            q = to_quad(x, spec)
+            q = wino_group(q, *g, m, (HW, HW), args.bs)
+            return from_quad(q, spec)
+        return f
+
     def fwd_step(chain):
-        def step(x, ws, bs2):
-            s = jnp.sum(chain(x, ws, bs2).astype(jnp.float32))
+        def step(x, *rest):
+            s = jnp.sum(chain(x, *rest).astype(jnp.float32))
             return x + (0.0 * s).astype(x.dtype), s
         return step
 
     def fb_step(chain):
-        def loss(ws, bs2, x):
-            return jnp.sum(chain(x, ws, bs2).astype(jnp.float32) ** 2)
-        vag = jax.value_and_grad(loss, argnums=(0, 1))
+        def loss(rest, x):
+            return jnp.sum(chain(x, *rest).astype(jnp.float32) ** 2)
+        vag = jax.value_and_grad(loss)
 
-        def step(x, ws, bs2):
-            l, (gw, gb) = vag(ws, bs2, x)
-            dep = l + sum(jnp.sum(g) for g in gw) + sum(jnp.sum(g) for g in gb)
+        def step(x, *rest):
+            l, gr = vag(rest, x)
+            dep = l + sum(jnp.sum(g) for g in jax.tree_util.tree_leaves(gr))
             return x + (0.0 * dep).astype(x.dtype), l
         return step
 
@@ -162,6 +198,26 @@ def main():
         if want(f"wino{m}_fb"):
             ms, _ = timeit(fb_step(wino_chain(m)), (x, ws, bs_), args.steps)
             record(f"wino{m}_fb", ms)
+
+    def record_g(name, ms):
+        results[name] = dict(ms=round(ms, 2), nblocks=NB,
+                             ms_per_conv=round(ms / (2 * NB), 4),
+                             tflops_fwd_equiv=round(
+                                 fl_conv * 2 * NB / ms / 1e9, 1))
+
+    if want("group_direct_fwd"):
+        ms, _ = timeit(fwd_step(group_direct), (x,) + gargs, args.steps)
+        record_g("group_direct_fwd", ms)
+    if want("group_direct_fb"):
+        ms, _ = timeit(fb_step(group_direct), (x,) + gargs, args.steps)
+        record_g("group_direct_fb", ms)
+    for m in (2, 4):
+        if want(f"wino{m}_group_fwd"):
+            ms, _ = timeit(fwd_step(group_wino(m)), (x,) + gargs, args.steps)
+            record_g(f"wino{m}_group_fwd", ms)
+        if want(f"wino{m}_group_fb"):
+            ms, _ = timeit(fb_step(group_wino(m)), (x,) + gargs, args.steps)
+            record_g(f"wino{m}_group_fb", ms)
 
     print(json.dumps(dict(batch=B, hw=HW, nconvs=K, bs=args.bs,
                           ablate=args.ablate,
