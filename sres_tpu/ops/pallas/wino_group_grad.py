@@ -163,7 +163,7 @@ def _stash_call(xq, u, bv, cw1, cb1, cw2, cb2, spec: WinoSpec, bs: int,
 
 
 # -------------------------------------------------------- backward chunk
-def _conv_adj(dc_fn, src, dprev, u_at, du_at, *, spec, bs, w1, zz, gm, dxa,
+def _conv_adj(dc_fn, src, dprev, u_at, du_at, *, spec, bs, w1, zz, gm,
               mask, xdt, accum_dprev):
     """Exact adjoint of one conv unit on resident planes.
 
@@ -215,23 +215,20 @@ def _conv_adj(dc_fn, src, dprev, u_at, du_at, *, spec, bs, w1, zz, gm, dxa,
                 preferred_element_type=jnp.float32)
             gm[_idx(n, ti, tj), :, :, :] = dv.reshape(bs, mp, 128).astype(xdt)
 
-    # dx 2-stage into dxa, then into dprev (w1 is free to reuse here)
+    # dx 2-stage, overlap-added straight into dprev (w1 is free to reuse)
+    if not accum_dprev:
+        dprev[:] = jnp.zeros_like(dprev)
     for ti in range(n):
         for q in range(n):
             acc = _combine([(c, gm[_idx(n, ti, tj), :, :, :])
                             for c, tj in _nz(bt[:, q])])
             w1[_idx(n, ti, q), :, :, :] = acc.astype(xdt)
-    dxa[:] = jnp.zeros_like(dxa)
     for p in range(n):
         for q in range(n):
             dd = _combine([(c, w1[_idx(n, ti, q), :, pl.ds(0, mflat), :])
                            for c, ti in _nz(bt[:, p])])
             pidx, off = spec.in_tap(p, q)
-            dxa[:, pidx, pl.ds(off, mflat), :] += dd * mask
-    if accum_dprev:
-        dprev[:] = dprev[:] + dxa[:]
-    else:
-        dprev[:] = dxa[:]
+            dprev[:, pidx, pl.ds(off, mflat), :] += dd * mask
     return db[0]
 
 
@@ -239,7 +236,7 @@ def _bwd_chunk_kernel(dy_ref, as_ref, u_ref, b_ref, cw1_ref, cb1_ref,
                       cw2_ref, cb2_ref, mask_ref,
                       dx_ref, du_ref, db_ref, dcw1_ref, dcb1_ref, dcw2_ref,
                       dcb2_ref,
-                      da, dc, c1, c2, w1, zz, gm, dxa, mm,
+                      da, dc, c1, c2, w1, zz, gm, mm,
                       *, spec: WinoSpec, bs: int, nbc: int, npix: int):
     m, n = spec.m, spec.n
     mflat, mp = spec.mflat, _rup(spec.mflat)
@@ -266,8 +263,7 @@ def _bwd_chunk_kernel(dy_ref, as_ref, u_ref, b_ref, cw1_ref, cb1_ref,
         da[:] = dy_ref[:]
 
     kw = dict(spec=spec, bs=bs, w1=w1, mm=mm, mask=mask, xdt=xdt)
-    akw = dict(spec=spec, bs=bs, w1=w1, zz=zz, gm=gm, dxa=dxa, mask=mask,
-               xdt=xdt)
+    akw = dict(spec=spec, bs=bs, w1=w1, zz=zz, gm=gm, mask=mask, xdt=xdt)
 
     # ---- recompute the RCAB forward from the stashed input a_k
     # (input-side refs are reverse-index-mapped: [0] is always RCAB nbc-1-kk)
@@ -379,7 +375,6 @@ def _bwd_chunk_call(dy, astash, u, bv, cw1, cb1, cw2, cb2,
                         pltpu.VMEM((n2, bs, mp, 128), xdt),
                         pltpu.VMEM((spec.m * spec.n, bs, mp, 128), xdt),
                         pltpu.VMEM((n2, bs, mp, 128), xdt),
-                        pltpu.VMEM((bs, m2, spec.pp, 128), jnp.float32),
                         pltpu.VMEM((n2, bs, mp, 128), jnp.float32)],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=128 * 1024 * 1024),
