@@ -37,7 +37,8 @@ from jax.experimental.pallas import tpu as pltpu
 
 from sres_tpu.ops.pallas.winograd_conv import (_combine, _interpret, _nz,
                                                _rup, wino_group_fwd)
-from sres_tpu.ops.winograd import (WinoSpec, interior_mask,
+from sres_tpu.ops.winograd import (WinoSpec, at_apply, at_t_apply, bt_apply,
+                                   bt_t_apply, interior_mask,
                                    untransform_weight_grad,
                                    transform_weights, wino_spec)
 
@@ -53,32 +54,35 @@ def _idx(n, i, j):
 def _conv_fwd(src, dst, u_at, bias, relu, *, spec, bs, w1, mm, mask, xdt):
     """One Winograd conv unit on resident quad planes (shared by the stash
     sweep and the in-kernel recompute): stage1(src) → tap GEMMs → inverse
-    (+bias, +relu) into dst. dst's borders must already be zero."""
+    (+bias, +relu) into dst. dst's borders must already be zero. Transforms
+    run through the factored programs (ops/winograd.py: bt_apply/at_apply —
+    ~2× fewer VPU ops than per-row combination)."""
     m, n = spec.m, spec.n
     mflat, mp = spec.mflat, _rup(spec.mflat)
-    bt, at = spec.bt, spec.at
     for p in range(n):
-        taps = {}
+        taps = []
         for q in range(n):
             pidx, off = spec.in_tap(p, q)
-            taps[q] = src[:, pidx, pl.ds(off, mflat), :]
+            taps.append(src[:, pidx, pl.ds(off, mflat), :])
+        rows = bt_apply(m, taps)
         for tj in range(n):
-            acc = _combine([(c, taps[q]) for c, q in _nz(bt[tj])])
-            w1[_idx(n, p, tj), :, pl.ds(0, mflat), :] = acc.astype(xdt)
-    for ti in range(n):
-        for tj in range(n):
-            v = _combine([(c, w1[_idx(n, p, tj), :, :, :])
-                          for c, p in _nz(bt[ti])])
+            w1[_idx(n, p, tj), :, pl.ds(0, mflat), :] = rows[tj].astype(xdt)
+    for tj in range(n):
+        vs = bt_apply(m, [w1[_idx(n, p, tj), :, :, :] for p in range(n)])
+        for ti in range(n):
             mm[_idx(n, ti, tj), :, :, :] = jnp.dot(
-                v.astype(xdt).reshape(bs * mp, 128), u_at(_idx(n, ti, tj)),
+                vs[ti].astype(xdt).reshape(bs * mp, 128), u_at(_idx(n, ti, tj)),
                 preferred_element_type=jnp.float32).reshape(bs, mp, 128)
+    zcol = {}
+    for tj in range(n):
+        zs = at_apply(m, [mm[_idx(n, ti, tj), :, pl.ds(0, mflat), :]
+                          for ti in range(n)])
+        for u in range(m):
+            zcol[(u, tj)] = zs[u]
     for u in range(m):
-        zrow = {}
-        for tj in range(n):
-            zrow[tj] = _combine([(c, mm[_idx(n, ti, tj), :, pl.ds(0, mflat), :])
-                                 for c, ti in _nz(at[u])])
+        ys = at_apply(m, [zcol[(u, tj)] for tj in range(n)])
         for v_ in range(m):
-            y = _combine([(c, zrow[tj]) for c, tj in _nz(at[v_])]) + bias
+            y = ys[v_] + bias
             if relu:
                 y = jnp.maximum(y, 0.0)
             pidx, off = spec.out_tap(u, v_)
@@ -179,34 +183,33 @@ def _conv_adj(dc_fn, src, dprev, u_at, du_at, *, spec, bs, w1, zz, gm,
     # dM-adjoint of the cotangent + bias grad
     db = jnp.zeros((1, 1, 128), jnp.float32)
     for u in range(m):
-        gtap = {}
+        gtap = []
         for v_ in range(m):
             pidx, off = spec.out_tap(u, v_)
             gt = dc_fn(pidx, off)
             db = db + jnp.sum(gt, axis=(0, 1), keepdims=True)
-            gtap[v_] = gt
+            gtap.append(gt)
+        outs = at_t_apply(m, gtap)
         for tj in range(n):
-            acc = _combine([(c, gtap[v_]) for c, v_ in _nz(at[:, tj])])
-            zz[u * n + tj, :, pl.ds(0, mflat), :] = acc.astype(xdt)
+            zz[u * n + tj, :, pl.ds(0, mflat), :] = outs[tj].astype(xdt)
 
     # V recompute from src
     for p in range(n):
-        taps = {}
+        taps = []
         for q in range(n):
             pidx, off = spec.in_tap(p, q)
-            taps[q] = src[:, pidx, pl.ds(off, mflat), :]
+            taps.append(src[:, pidx, pl.ds(off, mflat), :])
+        rows = bt_apply(m, taps)
         for tj in range(n):
-            acc = _combine([(c, taps[q]) for c, q in _nz(bt[tj])])
-            w1[_idx(n, p, tj), :, pl.ds(0, mflat), :] = acc.astype(xdt)
+            w1[_idx(n, p, tj), :, pl.ds(0, mflat), :] = rows[tj].astype(xdt)
 
     # per tap: dM; dU += VᵀdM; dv = dM·Uᵀ
-    for ti in range(n):
-        for tj in range(n):
-            g_tap = _combine([(c, zz[u * n + tj, :, :, :])
-                              for c, u in _nz(at[:, ti])])
-            g_bf = g_tap.astype(xdt).reshape(bs * mp, 128)
-            v = _combine([(c, w1[_idx(n, p, tj), :, :, :])
-                          for c, p in _nz(bt[ti])]).astype(xdt).reshape(bs * mp, 128)
+    for tj in range(n):
+        gs = at_t_apply(m, [zz[u * n + tj, :, :, :] for u in range(m)])
+        vs = bt_apply(m, [w1[_idx(n, p, tj), :, :, :] for p in range(n)])
+        for ti in range(n):
+            g_bf = gs[ti].astype(xdt).reshape(bs * mp, 128)
+            v = vs[ti].astype(xdt).reshape(bs * mp, 128)
             du_at(_idx(n, ti, tj), jax.lax.dot_general(
                 v, g_bf, (((0,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32))
@@ -219,16 +222,15 @@ def _conv_adj(dc_fn, src, dprev, u_at, du_at, *, spec, bs, w1, zz, gm,
     if not accum_dprev:
         dprev[:] = jnp.zeros_like(dprev)
     for ti in range(n):
+        outs = bt_t_apply(m, [gm[_idx(n, ti, tj), :, :, :] for tj in range(n)])
         for q in range(n):
-            acc = _combine([(c, gm[_idx(n, ti, tj), :, :, :])
-                            for c, tj in _nz(bt[:, q])])
-            w1[_idx(n, ti, q), :, :, :] = acc.astype(xdt)
-    for p in range(n):
-        for q in range(n):
-            dd = _combine([(c, w1[_idx(n, ti, q), :, pl.ds(0, mflat), :])
-                           for c, ti in _nz(bt[:, p])])
+            w1[_idx(n, ti, q), :, :, :] = outs[q].astype(xdt)
+    for q in range(n):
+        dds = bt_t_apply(m, [w1[_idx(n, ti, q), :, pl.ds(0, mflat), :]
+                             for ti in range(n)])
+        for p in range(n):
             pidx, off = spec.in_tap(p, q)
-            dprev[:, pidx, pl.ds(off, mflat), :] += dd * mask
+            dprev[:, pidx, pl.ds(off, mflat), :] += dds[p] * mask
     return db[0]
 
 

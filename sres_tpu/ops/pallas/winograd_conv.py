@@ -338,34 +338,39 @@ def _chain_fwd_kernel(xq_ref, u_ref, b_ref, mask_ref, yq_ref, qc, w1, mm,
     def idx(i, j):
         return i * n + j
 
+    from sres_tpu.ops.winograd import at_apply, bt_apply
+
     # stage 1 from the resident activations
     for p in range(n):
-        taps = {}
+        taps = []
         for q in range(n):
             pidx, off = spec.in_tap(p, q)
-            taps[q] = qc[:, pidx, pl.ds(off, mflat), :]
+            taps.append(qc[:, pidx, pl.ds(off, mflat), :])
+        rows = bt_apply(m, taps)
         for tj in range(n):
-            acc = _combine([(c, taps[q]) for c, q in _nz(bt[tj])])
-            w1[idx(p, tj), :, pl.ds(0, mflat), :] = acc.astype(xdt)
+            w1[idx(p, tj), :, pl.ds(0, mflat), :] = rows[tj].astype(xdt)
 
     # tap GEMMs against conv k's transformed weights
-    for ti in range(n):
-        for tj in range(n):
-            v = _combine([(c, w1[idx(p, tj), :, :, :]) for c, p in _nz(bt[ti])])
+    for tj in range(n):
+        vs = bt_apply(m, [w1[idx(p, tj), :, :, :] for p in range(n)])
+        for ti in range(n):
             mm[idx(ti, tj), :, :, :] = jnp.dot(
-                v.astype(xdt).reshape(bs * mp, 128), u_ref[0, idx(ti, tj)],
+                vs[ti].astype(xdt).reshape(bs * mp, 128), u_ref[0, idx(ti, tj)],
                 preferred_element_type=jnp.float32).reshape(bs, mp, 128)
 
     # inverse transform back into the resident buffer (masked interiors over
     # borders that stay zero from the k==0 load)
     bias = b_ref[0, 0, :].astype(jnp.float32)
+    zcol = {}
+    for tj in range(n):
+        zs = at_apply(m, [mm[idx(ti, tj), :, pl.ds(0, mflat), :]
+                          for ti in range(n)])
+        for u in range(m):
+            zcol[(u, tj)] = zs[u]
     for u in range(m):
-        zrow = {}
-        for tj in range(n):
-            zrow[tj] = _combine([(c, mm[idx(ti, tj), :, pl.ds(0, mflat), :])
-                                 for c, ti in _nz(at[u])])
+        ys = at_apply(m, [zcol[(u, tj)] for tj in range(n)])
         for v_ in range(m):
-            y = _combine([(c, zrow[tj]) for c, tj in _nz(at[v_])]) + bias
+            y = ys[v_] + bias
             if relu:
                 y = jnp.maximum(y, 0.0)
             pidx, off = spec.out_tap(u, v_)
@@ -443,31 +448,35 @@ def _group_fwd_kernel(xq_ref, u_ref, b_ref, cw1_ref, cb1_ref, cw2_ref,
         return i * n + j
 
     def conv(src, dst, slot, relu, zero_dst):
+        from sres_tpu.ops.winograd import at_apply, bt_apply
         for p in range(n):
-            taps = {}
+            taps = []
             for q in range(n):
                 pidx, off = spec.in_tap(p, q)
-                taps[q] = src[:, pidx, pl.ds(off, mflat), :]
+                taps.append(src[:, pidx, pl.ds(off, mflat), :])
+            rows = bt_apply(m, taps)
             for tj in range(n):
-                acc = _combine([(c, taps[q]) for c, q in _nz(bt[tj])])
-                w1[idx(p, tj), :, pl.ds(0, mflat), :] = acc.astype(xdt)
-        for ti in range(n):
-            for tj in range(n):
-                v = _combine([(c, w1[idx(p, tj), :, :, :])
-                              for c, p in _nz(bt[ti])])
+                w1[idx(p, tj), :, pl.ds(0, mflat), :] = rows[tj].astype(xdt)
+        for tj in range(n):
+            vs = bt_apply(m, [w1[idx(p, tj), :, :, :] for p in range(n)])
+            for ti in range(n):
                 mm[idx(ti, tj), :, :, :] = jnp.dot(
-                    v.astype(xdt).reshape(bs * mp, 128), u_ref[0, slot, idx(ti, tj)],
+                    vs[ti].astype(xdt).reshape(bs * mp, 128),
+                    u_ref[0, slot, idx(ti, tj)],
                     preferred_element_type=jnp.float32).reshape(bs, mp, 128)
         if zero_dst:
             dst[:] = jnp.zeros_like(dst)
         bias = b_ref[0, slot, :].astype(jnp.float32)
+        zcol = {}
+        for tj in range(n):
+            zs = at_apply(m, [mm[idx(ti, tj), :, pl.ds(0, mflat), :]
+                              for ti in range(n)])
+            for u in range(m):
+                zcol[(u, tj)] = zs[u]
         for u in range(m):
-            zrow = {}
-            for tj in range(n):
-                zrow[tj] = _combine([(c, mm[idx(ti, tj), :, pl.ds(0, mflat), :])
-                                     for c, ti in _nz(at[u])])
+            ys = at_apply(m, [zcol[(u, tj)] for tj in range(n)])
             for v_ in range(m):
-                y = _combine([(c, zrow[tj]) for c, tj in _nz(at[v_])]) + bias
+                y = ys[v_] + bias
                 if relu:
                     y = jnp.maximum(y, 0.0)
                 pidx, off = spec.out_tap(u, v_)

@@ -154,6 +154,76 @@ def from_quad(q: jnp.ndarray, spec: WinoSpec) -> jnp.ndarray:
     return full[:, 1:spec.h + 1, 1:spec.w + 1, :]
 
 
+# ------------------------------------------------- factored transform programs
+# Straight-line evaluators for the four linear maps the kernels apply to
+# row-sets of (rows, 128) vectors: BT (input transform, both sides), BTᵀ
+# (dx adjoint), AT (inverse transform), ATᵀ (dM adjoint). The m=4 programs
+# share even/odd subexpressions — ~2× fewer VPU mul/adds than evaluating
+# each matrix row independently (the _nz/_combine form). All accumulate in
+# f32; exactness is asserted against the matrices in tests/test_winograd.py.
+
+def _f32(xs):
+    return [x.astype(jnp.float32) for x in xs]
+
+
+def bt_apply(m, d):
+    """out[i] = Σ_q BT[i, q]·d[q]."""
+    f = _f32(d)
+    if m == 4:
+        p = f[4] - np.float32(4.0) * f[2]
+        q = np.float32(4.0) * f[1] - f[3]
+        s = f[4] - f[2]
+        t = np.float32(2.0) * (f[1] - f[3])
+        return [np.float32(4.0) * f[0] - np.float32(5.0) * f[2] + f[4],
+                p - q, p + q, s - t, s + t,
+                np.float32(4.0) * f[1] - np.float32(5.0) * f[3] + f[5]]
+    return [f[0] - f[2], f[1] + f[2], f[2] - f[1], f[1] - f[3]]
+
+
+def bt_t_apply(m, x):
+    """out[q] = Σ_i BT[i, q]·x[i]."""
+    f = _f32(x)
+    if m == 4:
+        u = f[1] + f[2]
+        v = f[1] - f[2]
+        w = f[3] + f[4]
+        z = f[3] - f[4]
+        return [np.float32(4.0) * f[0],
+                np.float32(4.0) * (f[5] - v) - np.float32(2.0) * z,
+                np.float32(-5.0) * f[0] - np.float32(4.0) * u - w,
+                v + np.float32(2.0) * z - np.float32(5.0) * f[5],
+                f[0] + u + w,
+                f[5]]
+    return [f[0], f[1] - f[2] + f[3], f[1] + f[2] - f[0], -f[3]]
+
+
+def at_apply(m, y):
+    """out[u] = Σ_i AT[u, i]·y[i] (n inputs → m outputs)."""
+    f = _f32(y)
+    if m == 4:
+        s1 = f[1] + f[2]
+        d1 = f[1] - f[2]
+        s2 = f[3] + f[4]
+        d2 = f[3] - f[4]
+        return [f[0] + s1 + s2,
+                d1 + np.float32(2.0) * d2,
+                s1 + np.float32(4.0) * s2,
+                d1 + np.float32(8.0) * d2 + f[5]]
+    return [f[0] + f[1] + f[2], f[1] - f[2] - f[3]]
+
+
+def at_t_apply(m, g):
+    """out[i] = Σ_u AT[u, i]·g[u] (m inputs → n outputs)."""
+    f = _f32(g)
+    if m == 4:
+        s = f[0] + f[2]
+        t = f[1] + f[3]
+        u = f[0] + np.float32(4.0) * f[2]
+        v = np.float32(2.0) * f[1] + np.float32(8.0) * f[3]
+        return [f[0], s + t, s - t, u + v, u - v, f[3]]
+    return [f[0], f[0] + f[1], f[0] - f[1], -f[1]]
+
+
 # ------------------------------------------------------------------ weights
 def transform_weights(w: jnp.ndarray, m: int) -> jnp.ndarray:
     """(3, 3, Cin, Cout) → (n², Cin, Cout) transform-domain weights

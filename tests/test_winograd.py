@@ -34,6 +34,29 @@ def _data(t=2, h=16, w=16, c=128, seed=0):
 
 
 @pytest.mark.parametrize("m", [2, 4])
+def test_factored_transform_programs(m):
+    """The straight-line transform programs (bt/at_apply and transposes)
+    are exact against their matrices — the kernels' VPU-op-count
+    optimization must not change the math."""
+    import sres_tpu.ops.winograd as W
+    rng = np.random.default_rng(0)
+    n = m + 2
+    bt, _, at = W._MATS[m]
+    xs = [jnp.asarray(rng.normal(size=(5, 7)).astype(np.float32))
+          for _ in range(n)]
+    ys = xs[:m]
+    for name, outs, mat, terms in [
+            ("bt", W.bt_apply(m, xs), bt, xs),
+            ("bt_t", W.bt_t_apply(m, xs), bt.T, xs),
+            ("at", W.at_apply(m, xs), at, xs),
+            ("at_t", W.at_t_apply(m, ys), at.T, ys)]:
+        ref = jnp.einsum("ij,j...->i...", jnp.asarray(mat, jnp.float32),
+                         jnp.stack(terms))
+        np.testing.assert_allclose(jnp.stack(outs), ref, rtol=0, atol=1e-5,
+                                   err_msg=f"m={m} {name}")
+
+
+@pytest.mark.parametrize("m", [2, 4])
 def test_reference_matches_lax_conv(m):
     x, w, b = _data(c=8)
     w = w[:, :, :8, :8]
