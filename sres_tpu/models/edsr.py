@@ -23,40 +23,80 @@ class EDSR(nn.Module):
     use_bias: bool = True
     lane_pack: int = 1        # tiles packed per image in the trunk (PERF.md)
     quantization: Optional[str] = None  # 'int8': AQT trunk convs (opt-in)
+    winograd: Optional[int] = None  # 2|4: trunk ResBlocks via the fused
+    # Winograd chain kernel (ops/pallas/wino_group_grad.py:wino_resgroup —
+    # one pallas_call for the whole trunk, exact gradients); same gating
+    # rules and unchanged param tree as RCAN's winograd mode
+    winograd_bs: int = 0      # samples per kernel block; 0 = auto
     dtype: Optional[Any] = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
         d = self.dtype
-        x = Conv(self.nfeatures, self.kernel_size, use_bias=self.use_bias, dtype=d)(x)
+        x = Conv(self.nfeatures, self.kernel_size, use_bias=self.use_bias,
+                 dtype=d, name="Conv_0")(x)
         pk = self.lane_pack if x.shape[0] >= self.lane_pack else 1
         bpad = (-x.shape[0]) % pk
         if pk > 1 and bpad:
             x = jnp.concatenate([x, jnp.zeros((bpad,) + x.shape[1:], x.dtype)], 0)
         res = pack_tiles(x, pk) if pk > 1 else x
+        h, w = res.shape[1], res.shape[2]
+        wbs = self.winograd_bs or next(
+            dd for dd in (4, 3, 2, 1) if res.shape[0] % dd == 0)
+        wino = self.winograd if (
+            self.winograd and self.kernel_size == 3 and not self.quantization
+            and pk * self.nfeatures == 128 and h % self.winograd == 0
+            and w % self.winograd == 0 and res.shape[0] % wbs == 0
+        ) else None
         skip = res
-        for _ in range(self.nlayers):
-            res = ResBlock(self.nfeatures, self.kernel_size, self.use_bias,
-                           self.res_scale, dtype=d, pack=pk,
-                           quant=self.quantization)(res)
-        res = Conv(self.nfeatures, self.kernel_size, use_bias=self.use_bias,
-                   dtype=d, pack=pk, quant=self.quantization)(res)
-        res = res + skip
+        if wino:
+            from sres_tpu.models.wino_blocks import WinoConv
+            from sres_tpu.ops.pallas.wino_group_grad import wino_resgroup
+            from sres_tpu.ops.winograd import from_quad, to_quad, wino_spec
+            spec = wino_spec(wino, h, w)
+            ws, bv = [], []
+            for i in range(self.nlayers):
+                wpair, bpair = ResBlock(self.nfeatures, self.kernel_size,
+                                        self.use_bias, self.res_scale,
+                                        dtype=d, pack=pk,
+                                        name=f"ResBlock_{i}")(res, collect=True)
+                ws.append(wpair); bv.append(bpair)
+            resq = to_quad(res.astype(d) if d else res, spec)
+            r = wino_resgroup(resq, jnp.stack(ws), jnp.stack(bv), wino,
+                              (h, w), wbs, float(self.res_scale))
+            r = WinoConv(self.nfeatures, pk, wino, (h, w), relu=False,
+                         use_bias=self.use_bias, bs=wbs, dtype=d,
+                         name="Conv_1")(r)
+            res = from_quad(r + resq, spec).astype(skip.dtype)
+        else:
+            for i in range(self.nlayers):
+                res = ResBlock(self.nfeatures, self.kernel_size, self.use_bias,
+                               self.res_scale, dtype=d, pack=pk,
+                               quant=self.quantization,
+                               name=f"ResBlock_{i}")(res)
+            res = Conv(self.nfeatures, self.kernel_size, use_bias=self.use_bias,
+                       dtype=d, pack=pk, quant=self.quantization,
+                       name="Conv_1")(res)
+            res = res + skip
         if pk > 1:
             res = unpack_tiles(res, pk)
             if bpad:
                 res = res[: res.shape[0] - bpad]
         y = SPUpsample(self.scale, self.nfeatures, dtype=d)(res)
-        y = Conv(self.nchannels_out, self.kernel_size, use_bias=self.use_bias, dtype=d)(y)
+        y = Conv(self.nchannels_out, self.kernel_size, use_bias=self.use_bias,
+                 dtype=d, name="Conv_2")(y)
         return y.astype(jnp.float32)
 
 
 def build(model_cfg, nchannels_in: int, nchannels_out: int, dtype=None, temporal_features=None):
-    p = resolve_parms(model_cfg, dict(lane_pack=1, quantization=None),
+    p = resolve_parms(model_cfg, dict(lane_pack=1, quantization=None,
+                                      winograd=None, winograd_bs=0),
                       nchannels_in=nchannels_in, nchannels_out=nchannels_out)
     return EDSR(
         nchannels_in=p["nchannels_in"], nchannels_out=p["nchannels_out"],
         nfeatures=p["nfeatures"], nlayers=p["nlayers"], kernel_size=p["kernel_size"],
         scale=p["scale"], res_scale=p["res_scale"], use_bias=p["bias"],
-        lane_pack=int(p["lane_pack"]), quantization=p["quantization"], dtype=dtype,
+        lane_pack=int(p["lane_pack"]), quantization=p["quantization"],
+        winograd=(int(p["winograd"]) if p["winograd"] else None),
+        winograd_bs=int(p["winograd_bs"]), dtype=dtype,
     )

@@ -373,12 +373,20 @@ class ResBlock(nn.Module):
     quant: Optional[str] = None
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
-        r = Conv(self.features, self.kernel_size, use_bias=self.use_bias,
-                 dtype=self.dtype, pack=self.pack, quant=self.quant)(x)
+    def __call__(self, x: jnp.ndarray, collect: bool = False):
+        c1 = Conv(self.features, self.kernel_size, use_bias=self.use_bias,
+                  dtype=self.dtype, pack=self.pack, quant=self.quant)
+        c2 = Conv(self.features, self.kernel_size, use_bias=self.use_bias,
+                  dtype=self.dtype, pack=self.pack, quant=self.quant)
+        if collect:
+            # declare the same params, return stacked block-diag weights for
+            # the fused wino_resgroup kernel (EDSR winograd trunk)
+            w1, b1 = c1(x, collect=True)
+            w2, b2 = c2(x, collect=True)
+            return jnp.stack([w1, w2]), jnp.stack([b1, b2])
+        r = c1(x)
         r = nn.relu(r)
-        r = Conv(self.features, self.kernel_size, use_bias=self.use_bias,
-                 dtype=self.dtype, pack=self.pack, quant=self.quant)(r)
+        r = c2(r)
         return x + r * self.res_scale
 
 

@@ -104,7 +104,8 @@ def _ca_fwd(rb, cw1, cb1, cw2, cb2, *, npix):
 # ------------------------------------------------------------ stash sweep
 def _stash_kernel(xq_ref, u_ref, b_ref, cw1_ref, cb1_ref, cw2_ref, cb2_ref,
                   mask_ref, as_ref, qc, rb, w1, mm,
-                  *, spec: WinoSpec, bs: int, npix: int):
+                  *, spec: WinoSpec, bs: int, npix: int, gated: bool,
+                  res_scale: float):
     mflat, mp = spec.mflat, _rup(spec.mflat)
     xdt = xq_ref.dtype
     mask = mask_ref[pl.ds(0, mflat), :]
@@ -127,14 +128,18 @@ def _stash_kernel(xq_ref, u_ref, b_ref, cw1_ref, cb1_ref, cw2_ref, cb2_ref,
               b_ref[0, 0, :].astype(jnp.float32), True, **kw)
     _conv_fwd(rb, rb, lambda i: u_ref[0, 1, i],
               b_ref[0, 1, :].astype(jnp.float32), False, **kw)
-    _, _, g = _ca_fwd(rb, cw1_ref[0], cb1_ref[0], cw2_ref[0], cb2_ref[0],
-                      npix=npix)
+    if gated:
+        _, _, g = _ca_fwd(rb, cw1_ref[0], cb1_ref[0], cw2_ref[0], cb2_ref[0],
+                          npix=npix)
+        gate = g[:, None, None, :]
+    else:
+        gate = np.float32(res_scale)
     qc[:] = (qc[:].astype(jnp.float32)
-             + rb[:].astype(jnp.float32) * g[:, None, None, :]).astype(xdt)
+             + rb[:].astype(jnp.float32) * gate).astype(xdt)
 
 
 def _stash_call(xq, u, bv, cw1, cb1, cw2, cb2, spec: WinoSpec, bs: int,
-                npix: int):
+                npix: int, gated: bool = True, res_scale: float = 1.0):
     t = xq.shape[0]
     nb = u.shape[0]
     n2 = spec.n * spec.n
@@ -148,7 +153,8 @@ def _stash_call(xq, u, bv, cw1, cb1, cw2, cb2, spec: WinoSpec, bs: int,
     kblk = lambda *shape: pl.BlockSpec((1,) + shape,
                                        lambda i, k: (k,) + (0,) * len(shape))
     return pl.pallas_call(
-        functools.partial(_stash_kernel, spec=spec, bs=bs, npix=npix),
+        functools.partial(_stash_kernel, spec=spec, bs=bs, npix=npix,
+                          gated=gated, res_scale=res_scale),
         grid=(t // bs, nb),
         in_specs=[blk, kblk(2, n2, 128, 128), kblk(2, 128),
                   kblk(128, cah), kblk(1, cah), kblk(cah, 128), kblk(1, 128),
@@ -239,7 +245,8 @@ def _bwd_chunk_kernel(dy_ref, as_ref, u_ref, b_ref, cw1_ref, cb1_ref,
                       dx_ref, du_ref, db_ref, dcw1_ref, dcb1_ref, dcw2_ref,
                       dcb2_ref,
                       da, dc, c1, c2, w1, zz, gm, mm,
-                      *, spec: WinoSpec, bs: int, nbc: int, npix: int):
+                      *, spec: WinoSpec, bs: int, nbc: int, npix: int,
+                      gated: bool, res_scale: float):
     m, n = spec.m, spec.n
     mflat, mp = spec.mflat, _rup(spec.mflat)
     xdt = as_ref.dtype
@@ -276,32 +283,37 @@ def _bwd_chunk_kernel(dy_ref, as_ref, u_ref, b_ref, cw1_ref, cb1_ref,
     c2[:] = jnp.zeros_like(c2)
     _conv_fwd(c1, c2, lambda i: u_ref[0, 1, i],
               b_ref[0, 1, :].astype(jnp.float32), False, **kw)
-    s, h, g = _ca_fwd(c2, cw1_ref[0], cb1_ref[0], cw2_ref[0], cb2_ref[0],
-                      npix=npix)
+    if gated:
+        s, h, g = _ca_fwd(c2, cw1_ref[0], cb1_ref[0], cw2_ref[0], cb2_ref[0],
+                          npix=npix)
 
-    # ---- channel-attention backward (da = cotangent of the RCAB output)
-    dg = jnp.sum(da[:, :, :, :] * c2[:, :, :, :].astype(jnp.float32),
-                 axis=(1, 2))                                   # (bs, 128)
-    dz2 = dg * g * (1.0 - g)
-    dcb2_ref[kloc] += jnp.sum(dz2, axis=0, keepdims=True)
-    dcw2_ref[kloc] += jax.lax.dot_general(
-        h, dz2, (((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)                     # (cah, 128)
-    dh = jax.lax.dot_general(dz2, cw2_ref[0], (((1,), (1,)), ((), ())),
-                             preferred_element_type=jnp.float32)  # (bs, cah)
-    dz1 = jnp.where(h > 0.0, dh, 0.0)
-    dcb1_ref[kloc] += jnp.sum(dz1, axis=0, keepdims=True)
-    dcw1_ref[kloc] += jax.lax.dot_general(
-        s, dz1, (((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)                     # (128, cah)
-    ds = jax.lax.dot_general(dz1, cw1_ref[0], (((1,), (1,)), ((), ())),
-                             preferred_element_type=jnp.float32)  # (bs, 128)
-    ds = ds * np.float32(1.0 / npix)
+        # ---- channel-attention backward (da = RCAB-output cotangent)
+        dg = jnp.sum(da[:, :, :, :] * c2[:, :, :, :].astype(jnp.float32),
+                     axis=(1, 2))                               # (bs, 128)
+        dz2 = dg * g * (1.0 - g)
+        dcb2_ref[kloc] += jnp.sum(dz2, axis=0, keepdims=True)
+        dcw2_ref[kloc] += jax.lax.dot_general(
+            h, dz2, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)                 # (cah, 128)
+        dh = jax.lax.dot_general(dz2, cw2_ref[0], (((1,), (1,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+        dz1 = jnp.where(h > 0.0, dh, 0.0)
+        dcb1_ref[kloc] += jnp.sum(dz1, axis=0, keepdims=True)
+        dcw1_ref[kloc] += jax.lax.dot_general(
+            s, dz1, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)                 # (128, cah)
+        ds = jax.lax.dot_general(dz1, cw1_ref[0], (((1,), (1,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+        ds = ds * np.float32(1.0 / npix)
 
-    # ---- conv2 adjoint: dc2 = da·g + ds (interior only; dc_fn applies mask)
-    def dc2_fn(pidx, off):
-        sl = da[:, pidx, pl.ds(off, mflat), :]
-        return (sl * g[:, None, :] + ds[:, None, :]) * mask
+        # conv2 adjoint cotangent: dc2 = da·g + ds (interior only)
+        def dc2_fn(pidx, off):
+            sl = da[:, pidx, pl.ds(off, mflat), :]
+            return (sl * g[:, None, :] + ds[:, None, :]) * mask
+    else:
+        # plain ResBlock: dc2 = da · res_scale
+        def dc2_fn(pidx, off):
+            return da[:, pidx, pl.ds(off, mflat), :] * np.float32(res_scale) * mask
 
     db2 = _conv_adj(dc2_fn, c1, dc, lambda i: u_ref[0, 1, i],
                     lambda i, val: du_ref.__setitem__(
@@ -327,7 +339,8 @@ def _bwd_chunk_kernel(dy_ref, as_ref, u_ref, b_ref, cw1_ref, cb1_ref,
 
 
 def _bwd_chunk_call(dy, astash, u, bv, cw1, cb1, cw2, cb2,
-                    spec: WinoSpec, bs: int, npix: int):
+                    spec: WinoSpec, bs: int, npix: int,
+                    gated: bool = True, res_scale: float = 1.0):
     """Backward over one chunk of RCABs (reversed in-kernel). dy: f32
     (T, m², PP, 128) cotangent of the chunk output; astash: (T, nbc, …)
     stashed RCAB inputs. Returns (dx f32, du f32, db, dcw1, dcb1, dcw2,
@@ -349,7 +362,7 @@ def _bwd_chunk_call(dy, astash, u, bv, cw1, cb1, cw2, cb2,
         shape, lambda i, k: (0,) * len(shape))
     return pl.pallas_call(
         functools.partial(_bwd_chunk_kernel, spec=spec, bs=bs, nbc=nbc,
-                          npix=npix),
+                          npix=npix, gated=gated, res_scale=res_scale),
         grid=(t // bs, nbc),
         in_specs=[fblk,
                   pl.BlockSpec((bs, 1, m2, spec.pp, 128),
@@ -443,3 +456,62 @@ def _vjp_bwd(m, hw, bs, res, dy):
 
 
 wino_group.defvjp(_vjp_fwd, _vjp_bwd)
+
+
+# --------------------------------------------- ungated variant (EDSR trunk)
+def _dummy_ca(nb, dtype):
+    """Inert channel-attention operands for gated=False kernels (the refs
+    are declared but never read)."""
+    return (jnp.zeros((nb, 128, 8), jnp.float32),
+            jnp.zeros((nb, 1, 8), jnp.float32),
+            jnp.zeros((nb, 8, 128), jnp.float32),
+            jnp.zeros((nb, 1, 128), jnp.float32))
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
+def wino_resgroup(xq: jnp.ndarray, ws: jnp.ndarray, bvec: jnp.ndarray,
+                  m: int, hw: Tuple[int, int], bs: int = 4,
+                  res_scale: float = 1.0) -> jnp.ndarray:
+    """Differentiable chain of plain residual blocks (conv+relu → conv →
+    ×res_scale → skip; reference common/residual.py:28 — the EDSR trunk) on
+    quad planes: the ungated twin of wino_group. ws: (nb, 2, 3, 3, 128,
+    128); bvec: (nb, 2, 128)."""
+    nb = ws.shape[0]
+    d1, d2, d3, d4 = _dummy_ca(nb, xq.dtype)
+    return wino_group_fwd(xq, ws, bvec, d1, d2.reshape(nb, 8),
+                          d3, d4.reshape(nb, 128), m, hw, bs,
+                          gated=False, res_scale=res_scale)
+
+
+def _rg_vjp_fwd(xq, ws, bvec, m, hw, bs, res_scale):
+    y = wino_resgroup(xq, ws, bvec, m, hw, bs, res_scale)
+    return y, (xq, ws, bvec)
+
+
+def _rg_vjp_bwd(m, hw, bs, res_scale, res, dy):
+    xq, ws, bvec = res
+    spec = wino_spec(m, *hw)
+    npix = hw[0] * hw[1]
+    nb = ws.shape[0]
+    xdt = xq.dtype
+    u = jax.vmap(jax.vmap(lambda w: transform_weights(w, m)))(ws).astype(xdt)
+    bv = bvec.reshape(nb, 2, 128).astype(jnp.float32)
+    cw1, cb1, cw2, cb2 = _dummy_ca(nb, xdt)
+    astash = _stash_call(xq, u, bv, cw1, cb1, cw2, cb2, spec, bs, npix,
+                         gated=False, res_scale=res_scale)
+    da = dy.astype(jnp.float32)
+    dus, dbs = [], []
+    for off in reversed(range(0, nb, NB_CHUNK)):
+        sl = slice(off, min(off + NB_CHUNK, nb))
+        da, du_c, db_c, _, _, _, _ = _bwd_chunk_call(
+            da, astash[:, sl], u[sl], bv[sl], cw1[sl], cb1[sl], cw2[sl],
+            cb2[sl], spec, bs, npix, gated=False, res_scale=res_scale)
+        dus.append(du_c); dbs.append(db_c)
+    du = jnp.concatenate(dus[::-1], axis=0)
+    dws = jax.vmap(jax.vmap(
+        lambda d: untransform_weight_grad(d, m)))(du).astype(ws.dtype)
+    return (da.astype(xdt), dws,
+            jnp.concatenate(dbs[::-1], axis=0).astype(bvec.dtype))
+
+
+wino_resgroup.defvjp(_rg_vjp_fwd, _rg_vjp_bwd)

@@ -423,12 +423,16 @@ def wino_chain_fwd(xq: jnp.ndarray, ws: jnp.ndarray, bvec: jnp.ndarray,
 # ------------------------------------------------------- chained RCAB group
 def _group_fwd_kernel(xq_ref, u_ref, b_ref, cw1_ref, cb1_ref, cw2_ref,
                       cb2_ref, mask_ref, yq_ref, qc, rb, w1, mm,
-                      *, spec: WinoSpec, bs: int, nb: int, npix: int):
-    """One grid step = one full RCAB (conv+relu → conv → channel attention →
-    block skip) on VMEM-resident activations. Same pipeline-amortization
-    rationale as _chain_fwd_kernel; channel attention runs in-kernel (plane
-    borders are exactly zero, so the global mean is the plane sum / npix —
-    reference CA: sres/model/rcan/network.py:31-48)."""
+                      *, spec: WinoSpec, bs: int, nb: int, npix: int,
+                      gated: bool = True, res_scale: float = 1.0):
+    """One grid step = one full residual block on VMEM-resident activations.
+    gated=True: RCAB (conv+relu → conv → channel attention → block skip;
+    reference CA: sres/model/rcan/network.py:31-48) — CA runs in-kernel
+    (plane borders are exactly zero, so the global mean is the plane sum /
+    npix). gated=False: plain ResBlock (conv+relu → conv → ×res_scale →
+    skip; reference: sres/model/common/residual.py:28 — EDSR trunk); the CA
+    refs are inert. Same pipeline-amortization rationale as
+    _chain_fwd_kernel."""
     m, n = spec.m, spec.n
     mflat, mp = spec.mflat, _rup(spec.mflat)
     bt, at = spec.bt, spec.at
@@ -487,17 +491,23 @@ def _group_fwd_kernel(xq_ref, u_ref, b_ref, cw1_ref, cb1_ref, cw2_ref,
     conv(qc, rb, 0, True, True)
     conv(rb, rb, 1, False, False)
 
-    # channel attention: pooled mean → 1×1 convs → sigmoid gate
-    s = jnp.sum(rb[:, :, :, :].astype(jnp.float32), axis=(1, 2))   # (bs, 128)
-    mean = s * np.float32(1.0 / npix)
-    g = jnp.maximum(jnp.dot(mean, cw1_ref[0],
-                            preferred_element_type=jnp.float32) + cb1_ref[0], 0.0)
-    g = jax.nn.sigmoid(jnp.dot(g, cw2_ref[0],
-                               preferred_element_type=jnp.float32) + cb2_ref[0])
+    if gated:
+        # channel attention: pooled mean → 1×1 convs → sigmoid gate
+        s = jnp.sum(rb[:, :, :, :].astype(jnp.float32), axis=(1, 2))
+        mean = s * np.float32(1.0 / npix)
+        g = jnp.maximum(jnp.dot(mean, cw1_ref[0],
+                                preferred_element_type=jnp.float32)
+                        + cb1_ref[0], 0.0)
+        g = jax.nn.sigmoid(jnp.dot(g, cw2_ref[0],
+                                   preferred_element_type=jnp.float32)
+                           + cb2_ref[0])
+        gate = g[:, None, None, :]
+    else:
+        gate = np.float32(res_scale)
 
-    # block skip with the gated residual
+    # block skip with the gated/scaled residual
     qc[:] = (qc[:].astype(jnp.float32)
-             + rb[:].astype(jnp.float32) * g[:, None, None, :]).astype(xdt)
+             + rb[:].astype(jnp.float32) * gate).astype(xdt)
 
     @pl.when(k == nb - 1)
     def _store_block():
@@ -507,7 +517,8 @@ def _group_fwd_kernel(xq_ref, u_ref, b_ref, cw1_ref, cb1_ref, cw2_ref,
 def wino_group_fwd(xq: jnp.ndarray, ws: jnp.ndarray, bvec: jnp.ndarray,
                    caw1: jnp.ndarray, cab1: jnp.ndarray,
                    caw2: jnp.ndarray, cab2: jnp.ndarray,
-                   m: int, hw: Tuple[int, int], bs: int = 4) -> jnp.ndarray:
+                   m: int, hw: Tuple[int, int], bs: int = 4,
+                   gated: bool = True, res_scale: float = 1.0) -> jnp.ndarray:
     """A whole residual group's RCAB stack (reference rcan/network.py:50-66)
     in ONE pallas_call over quad planes. ws: (nb, 2, 3, 3, 128, 128) spatial
     conv weights (block-diag-expanded); bvec: (nb, 2, 128); caw1/cab1/caw2/
@@ -531,7 +542,8 @@ def wino_group_fwd(xq: jnp.ndarray, ws: jnp.ndarray, bvec: jnp.ndarray,
     cah = caw1.shape[-1]
     return pl.pallas_call(
         functools.partial(_group_fwd_kernel, spec=spec, bs=bs, nb=nb,
-                          npix=hw[0] * hw[1]),
+                          npix=hw[0] * hw[1], gated=gated,
+                          res_scale=res_scale),
         grid=(t // bs, nb),
         in_specs=[
             blk(),

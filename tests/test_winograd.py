@@ -243,6 +243,40 @@ def test_rcan_winograd_parity(m):
             err_msg=k)
 
 
+def test_edsr_winograd_parity():
+    """model.winograd on EDSR: the trunk ResBlocks run through the ungated
+    wino_resgroup chain (one pallas_call) with the SAME param tree as the
+    direct path — forward and gradients match to f32 roundoff."""
+    from sres_tpu.models import build_model
+    base = dict(name="edsr", nfeatures=64, nlayers=3, kernel_size=3,
+                res_scale=0.8, downscale_factors=[2, 2], loss_fn="l2",
+                lane_pack=2)
+    m_dir = build_model(dict(base), 1, 1, precision="f32")
+    m_win = build_model(dict(base, winograd=4), 1, 1, precision="f32")
+    x = jnp.asarray(np.random.default_rng(2).normal(
+        size=(4, 8, 8, 1)).astype(np.float32))
+    v = m_dir.init(jax.random.PRNGKey(0), x)
+    y0 = m_dir.apply(v, x)
+    y1 = m_win.apply(v, x)   # same tree or apply raises
+    np.testing.assert_allclose(y1, y0, rtol=0,
+                               atol=3e-5 * float(jnp.max(jnp.abs(y0))))
+
+    def loss(fn):
+        return lambda p: jnp.sum(fn.apply({"params": p}, x, train=True) ** 2)
+
+    g0 = jax.grad(loss(m_dir))(v["params"])
+    g1 = jax.grad(loss(m_win))(v["params"])
+    flat0 = {jax.tree_util.keystr(k): a
+             for k, a in jax.tree_util.tree_leaves_with_path(g0)}
+    flat1 = {jax.tree_util.keystr(k): a
+             for k, a in jax.tree_util.tree_leaves_with_path(g1)}
+    assert set(flat0) == set(flat1)
+    for k, a in flat0.items():
+        np.testing.assert_allclose(
+            flat1[k], a, rtol=0,
+            atol=3e-5 * float(jnp.max(jnp.abs(a)) + 1e-30), err_msg=k)
+
+
 def test_rcan_winograd_fallback():
     """Unsupported geometry (H not divisible by m, or packed C != 128)
     silently falls back to the direct path with identical results."""
