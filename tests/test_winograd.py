@@ -277,6 +277,37 @@ def test_edsr_winograd_parity():
             atol=3e-5 * float(jnp.max(jnp.abs(a)) + 1e-30), err_msg=k)
 
 
+def test_winograd_sharded_grad():
+    """The winograd train path (chain kernels + VJP) composes with a dp
+    mesh: jit-with-shardings compiles and matches the unsharded gradients.
+    (Virtual-mesh correctness only; real multi-chip needs
+    custom_partitioning — ROADMAP 3b.)"""
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+    from sres_tpu.models import build_model
+    base = dict(name="rcan", nfeatures=64, nlayers=1, nblocks=2,
+                cbottleneck=2, kernel_size=3, downscale_factors=[2, 2],
+                loss_fn="l2", lane_pack=2, winograd=4)
+    m = build_model(dict(base), 1, 1, precision="f32")
+    x = jnp.asarray(np.random.default_rng(0).normal(
+        size=(16, 8, 8, 1)).astype(np.float32))
+    v = m.init(jax.random.PRNGKey(0), x)
+
+    def loss(p, x):
+        return jnp.sum(m.apply(p, x, train=True) ** 2)
+
+    g0 = jax.grad(loss)(v, x)
+    mesh = Mesh(np.array(jax.devices()), ("data",))
+    xs = jax.device_put(x, NamedSharding(mesh, P("data")))
+    vs = jax.device_put(v, NamedSharding(mesh, P()))
+    g1 = jax.jit(jax.grad(loss))(vs, xs)
+    for (k0, a), (k1, b) in zip(
+            jax.tree_util.tree_leaves_with_path(g0),
+            jax.tree_util.tree_leaves_with_path(g1)):
+        np.testing.assert_allclose(
+            b, a, rtol=0, atol=1e-4 * float(jnp.max(jnp.abs(a)) + 1e-30),
+            err_msg=jax.tree_util.keystr(k0))
+
+
 def test_rcan_winograd_fallback():
     """Unsupported geometry (H not divisible by m, or packed C != 128)
     silently falls back to the direct path with identical results."""
