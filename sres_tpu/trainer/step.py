@@ -77,7 +77,7 @@ def prepare_inputs(hr_nchw: jnp.ndarray, sc: StepConfig) -> Tuple[jnp.ndarray, j
 
 
 def _apply(model, params, batch_stats, lr, train: bool, sc: StepConfig,
-           temporal=None):
+           temporal=None, smap_mesh: Optional[Mesh] = None):
     variables = {"params": params}
     kw = {"temporal": temporal} if sc.ntemporal > 0 else {}
     if sc.has_bn:
@@ -87,6 +87,32 @@ def _apply(model, params, batch_stats, lr, train: bool, sc: StepConfig,
                                    mutable=["batch_stats"], **kw)
             return out, mut["batch_stats"]
         return model.apply(variables, lr, train=False, **kw), batch_stats
+    if smap_mesh is not None:
+        # pipeline.shard_map: run the model apply PER data-shard inside
+        # shard_map instead of leaving partitioning to GSPMD. Semantically
+        # identical for pure dp (shard_map is differentiable; the replicated
+        # param spec transposes to a psum of the gradients), but it
+        # GUARANTEES per-shard execution of custom kernels — GSPMD would
+        # all-gather around pallas_calls (winograd chains, window attention)
+        # on real multi-chip. BN models are excluded (cross-shard batch
+        # stats); the 2D data×spatial mesh falls back to GSPMD (callers
+        # gate on spatial == 1).
+        shard_map = getattr(jax, "shard_map", None)
+        if shard_map is None:  # pre-0.8 jax
+            from jax.experimental.shard_map import shard_map
+
+        def local(p, x, *t):
+            kw2 = {"temporal": t[0]} if t else {}
+            return model.apply({"params": p}, x, train=train, **kw2)
+
+        in_specs = (P(), P("data")) + ((P("data"),) if sc.ntemporal > 0 else ())
+        import inspect
+        flag = ("check_vma" if "check_vma" in
+                inspect.signature(shard_map).parameters else "check_rep")
+        fn = shard_map(local, mesh=smap_mesh, in_specs=in_specs,
+                       out_specs=P("data"), **{flag: False})
+        args = (params, lr) + ((temporal,) if sc.ntemporal > 0 else ())
+        return fn(*args), batch_stats
     return model.apply(variables, lr, train=train, **kw), batch_stats
 
 
@@ -110,7 +136,8 @@ def _interp_baseline(lr: jnp.ndarray, sc: StepConfig) -> jnp.ndarray:
 
 
 def _train_step_core(model, optimizer: optax.GradientTransformation,
-                     sc: StepConfig) -> Callable:
+                     sc: StepConfig,
+                     smap_mesh: Optional[Mesh] = None) -> Callable:
     """The pure (untraced) train-step body shared by the per-batch jit and
     the scanned multi-batch jit."""
 
@@ -120,7 +147,7 @@ def _train_step_core(model, optimizer: optax.GradientTransformation,
 
         def loss_fn(params):
             out, new_bs = _apply(model, params, state.batch_stats, lr, True, sc,
-                                 temporal)
+                                 temporal, smap_mesh)
             sloss, mloss = _losses(out, target, weight, sc)
             return mloss, (sloss, new_bs)
 
@@ -141,10 +168,19 @@ def _train_step_core(model, optimizer: optax.GradientTransformation,
     return train_step
 
 
+def _smap_mesh(mesh: Optional[Mesh], sc: StepConfig, smap: bool):
+    """The mesh to shard_map the model apply over, or None: requires the
+    flag, a pure-dp mesh (spatial == 1), and a BN-free model."""
+    if not (smap and mesh is not None and not sc.has_bn):
+        return None
+    return mesh if mesh.shape.get("spatial", 1) == 1 else None
+
+
 def build_train_step(model, optimizer: optax.GradientTransformation,
-                     sc: StepConfig, mesh: Optional[Mesh] = None) -> Callable:
+                     sc: StepConfig, mesh: Optional[Mesh] = None,
+                     smap: bool = False) -> Callable:
     """Returns train_step(state, hr_nchw, weight) -> (state, metrics)."""
-    train_step = _train_step_core(model, optimizer, sc)
+    train_step = _train_step_core(model, optimizer, sc, _smap_mesh(mesh, sc, smap))
     if mesh is not None:
         # hr: batch over 'data' + (2D mesh) H over 'spatial' — GSPMD
         # spatially partitions every conv; weight stays per-tile
@@ -159,7 +195,8 @@ def build_train_step(model, optimizer: optax.GradientTransformation,
 
 
 def build_multi_train_step(model, optimizer: optax.GradientTransformation,
-                           sc: StepConfig, mesh: Optional[Mesh] = None) -> Callable:
+                           sc: StepConfig, mesh: Optional[Mesh] = None,
+                           smap: bool = False) -> Callable:
     """Returns multi_step(state, hr_stack, weight_stack) -> (state, metrics).
 
     Runs K optimizer steps in ONE device dispatch via ``lax.scan`` over a
@@ -170,7 +207,7 @@ def build_multi_train_step(model, optimizer: optax.GradientTransformation,
     dual_trainer.py:296-323); especially valuable on remote/tunneled device
     transports. The batch dim (axis 1) is sharded over the mesh's data axis;
     the scan axis is time, never sharded."""
-    core = _train_step_core(model, optimizer, sc)
+    core = _train_step_core(model, optimizer, sc, _smap_mesh(mesh, sc, smap))
 
     def multi_step(state: SRTrainState, hr_stack: jnp.ndarray,
                    weight_stack: jnp.ndarray,
@@ -261,7 +298,8 @@ def build_accum_train_step(model, optimizer: optax.GradientTransformation,
     return jax.jit(accum_step, donate_argnums=0)
 
 
-def build_eval_step(model, sc: StepConfig, mesh: Optional[Mesh] = None) -> Callable:
+def build_eval_step(model, sc: StepConfig, mesh: Optional[Mesh] = None,
+                    smap: bool = False) -> Callable:
     """Returns eval_step(state, hr_nchw, weight) ->
     (metrics, (lr, out, target, interp)) with NCHW f32 outputs for the
     result-merging / image-assembly host path."""
@@ -270,7 +308,7 @@ def build_eval_step(model, sc: StepConfig, mesh: Optional[Mesh] = None) -> Calla
                   temporal: Optional[jnp.ndarray] = None):
         lr, target = prepare_inputs(hr, sc)
         out, _ = _apply(model, state.params, state.batch_stats, lr, False, sc,
-                        temporal)
+                        temporal, _smap_mesh(mesh, sc, smap))
         sloss, mloss = _losses(out, target, weight, sc)
         interp = _interp_baseline(lr, sc)
         interp_sloss, _ = _losses(interp, target, weight, sc)

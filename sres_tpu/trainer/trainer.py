@@ -102,8 +102,15 @@ class ModelTrainer:
                                         temporal=sample_t)
         self.step_config = make_step_config(cfg().task, cfg().model, has_bn,
                                             ntemporal=ntemporal)
-        self._train_step = build_train_step(self.model, self.optimizer, self.step_config, self.mesh)
-        self._eval_step = build_eval_step(self.model, self.step_config, self.mesh)
+        # pipeline.shard_map: run the model apply per data-shard inside
+        # shard_map (guaranteed per-shard execution of pallas kernels under
+        # dp; see trainer/step.py:_apply). No-op on BN models / 2D meshes.
+        self._smap = bool(cfg().pipeline.get("shard_map", False))
+        self._train_step = build_train_step(self.model, self.optimizer,
+                                            self.step_config, self.mesh,
+                                            smap=self._smap)
+        self._eval_step = build_eval_step(self.model, self.step_config,
+                                          self.mesh, smap=self._smap)
         # K>1: stage K padded batches and run them in one scanned dispatch
         # (trainer/step.py:build_multi_train_step). Note the first two multi
         # dispatches each compile once (the donated carry's layouts differ
@@ -122,7 +129,8 @@ class ModelTrainer:
                 self.model, self.optimizer, self.step_config, self.mesh)
         else:
             self._multi_step = (build_multi_train_step(
-                self.model, self.optimizer, self.step_config, self.mesh)
+                self.model, self.optimizer, self.step_config, self.mesh,
+                smap=self._smap)
                 if self.steps_per_dispatch > 1 else None)
 
         self.checkpoint_manager = CheckpointManager()

@@ -330,3 +330,33 @@ def test_compiled_hlo_contains_gradient_collectives():
     halo = ("collective-permute" in txt2) or ("all-to-all" in txt2) \
         or txt2.count("all-reduce") > txt.count("all-reduce")
     assert halo, "no spatial-halo communication in the 2D-mesh compiled HLO"
+
+
+def test_shard_map_step_matches_gspmd():
+    """pipeline.shard_map: the model apply runs per data-shard inside
+    shard_map (guaranteed per-shard execution of pallas kernels under dp;
+    trainer/step.py:_apply) — one step matches the GSPMD-partitioned step
+    to f32 roundoff, for both the direct and the winograd trunk."""
+    from sres_tpu.models import build_model
+    for extra in ({}, {"lane_pack": 2, "nfeatures": 64, "winograd": 4}):
+        mcfg = dict(dict(name="rcan", nfeatures=8, nlayers=1, nblocks=1,
+                         cbottleneck=2, kernel_size=3,
+                         downscale_factors=[2, 2], loss_fn="l2"), **extra)
+        model = build_model(mcfg, 1, 1, precision="f32")
+        sc = StepConfig(4, (2, 2), "bicubic", "bicubic", "l2", 1.0, (0,), 1,
+                        False)
+        opt = optax.adam(1e-3)
+        hw = 8 if extra else 48
+        rng = np.random.default_rng(0)
+        hr = jnp.asarray(rng.normal(size=(16, 1, hw, hw)).astype(np.float32))
+        w = jnp.ones((16,), jnp.float32)
+        mesh = Mesh(np.asarray(jax.devices()[:8]), ("data",))
+        state_a, _ = init_state(model, opt, jnp.zeros((2, hw // 4, hw // 4, 1)), seed=0)
+        state_b, _ = init_state(model, opt, jnp.zeros((2, hw // 4, hw // 4, 1)), seed=0)
+        sa, ma = build_train_step(model, opt, sc, mesh, smap=True)(state_a, hr, w)
+        sb, mb = build_train_step(model, opt, sc, mesh)(state_b, hr, w)
+        np.testing.assert_allclose(float(ma["mloss"]), float(mb["mloss"]),
+                                   rtol=1e-5)
+        for a, b in zip(jax.tree.leaves(sa.params), jax.tree.leaves(sb.params)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-4, atol=2e-6)
