@@ -232,7 +232,8 @@ def build_multi_train_step(model, optimizer: optax.GradientTransformation,
 
 
 def build_accum_train_step(model, optimizer: optax.GradientTransformation,
-                           sc: StepConfig, mesh: Optional[Mesh] = None) -> Callable:
+                           sc: StepConfig, mesh: Optional[Mesh] = None,
+                           smap: bool = False) -> Callable:
     """Returns accum_step(state, hr_stack, weight_stack) -> (state, metrics).
 
     Gradient accumulation: ONE optimizer update from K staged micro-batches
@@ -262,7 +263,8 @@ def build_accum_train_step(model, optimizer: optax.GradientTransformation,
             lr, target = prepare_inputs(hr, sc)
 
             def loss_fn(params):
-                out, new_bs = _apply(model, params, bs, lr, True, sc, temporal)
+                out, new_bs = _apply(model, params, bs, lr, True, sc, temporal,
+                                     _smap_mesh(mesh, sc, smap))
                 sloss, mloss = _losses(out, target, weight, sc)
                 return mloss, (sloss, new_bs)
 

@@ -126,7 +126,8 @@ class ModelTrainer:
             from sres_tpu.trainer.step import build_accum_train_step
             self.steps_per_dispatch = self.grad_accum
             self._multi_step = build_accum_train_step(
-                self.model, self.optimizer, self.step_config, self.mesh)
+                self.model, self.optimizer, self.step_config, self.mesh,
+                smap=self._smap)
         else:
             self._multi_step = (build_multi_train_step(
                 self.model, self.optimizer, self.step_config, self.mesh,
