@@ -35,8 +35,8 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from sres_tpu.ops.pallas.winograd_conv import (_combine, _interpret, _nz,
-                                               _rup, wino_group_fwd)
+from sres_tpu.ops.pallas.winograd_conv import (_interpret, _rup,
+                                               wino_group_fwd)
 from sres_tpu.ops.winograd import (WinoSpec, at_apply, at_t_apply, bt_apply,
                                    bt_t_apply, interior_mask,
                                    untransform_weight_grad,
@@ -184,7 +184,6 @@ def _conv_adj(dc_fn, src, dprev, u_at, du_at, *, spec, bs, w1, zz, gm,
     scratch; += if accum_dprev). Returns the bias grad ((1, 128) f32)."""
     m, n = spec.m, spec.n
     mflat, mp = spec.mflat, _rup(spec.mflat)
-    bt, at = spec.bt, spec.at
 
     # dM-adjoint of the cotangent + bias grad
     db = jnp.zeros((1, 1, 128), jnp.float32)
