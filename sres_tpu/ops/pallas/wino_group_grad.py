@@ -43,8 +43,11 @@ from sres_tpu.ops.winograd import (WinoSpec, at_apply, at_t_apply, bt_apply,
                                    transform_weights, wino_spec)
 
 # RCABs per backward pallas_call — bounds the resident f32 dU accumulator
-# (NB_CHUNK × 2 convs × n² taps × 128 × 128 × 4 B ≈ 19 MB at m=4).
-NB_CHUNK = 4
+# (NB_CHUNK × 2 convs × n² taps × 128 × 128 × 4 B ≈ 19 MB at m=4). Env
+# override for on-chip VMEM tuning: SRES_WINO_NB_CHUNK.
+import os as _os
+
+NB_CHUNK = int(_os.environ.get("SRES_WINO_NB_CHUNK", "4"))
 
 
 def _idx(n, i, j):
