@@ -48,6 +48,13 @@ class EDSR(nn.Module):
             and pk * self.nfeatures == 128 and h % self.winograd == 0
             and w % self.winograd == 0 and res.shape[0] % wbs == 0
         ) else None
+        if self.winograd and not wino:
+            import logging
+            logging.getLogger("sres").info(
+                "model.winograd=%s requested but unsupported for this trace "
+                "(pack·nfeatures=%d, HxW=%dx%d, batch=%d, quant=%s) — using "
+                "the direct conv path (identical results)", self.winograd,
+                pk * self.nfeatures, h, w, res.shape[0], self.quantization)
         skip = res
         if wino:
             from sres_tpu.models.wino_blocks import WinoConv

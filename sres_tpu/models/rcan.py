@@ -76,6 +76,13 @@ class RCAN(nn.Module):
             and h % self.winograd == 0 and w % self.winograd == 0
             and wbs > 0 and res.shape[0] % wbs == 0
         ) else None
+        if self.winograd and not wino:
+            import logging
+            logging.getLogger("sres").info(
+                "model.winograd=%s requested but unsupported for this trace "
+                "(pack·nfeatures=%d, HxW=%dx%d, batch=%d, quant=%s) — using "
+                "the direct conv path (identical results)", self.winograd,
+                pk * self.nfeatures, h, w, res.shape[0], self.quantization)
         skip = res
         remat = (self.quantization == "int8_full" if self.remat_trunk is None
                  else bool(self.remat_trunk))

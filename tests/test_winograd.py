@@ -277,6 +277,21 @@ def test_edsr_winograd_parity():
             atol=3e-5 * float(jnp.max(jnp.abs(a)) + 1e-30), err_msg=k)
 
 
+def test_edsr_winograd_fallback():
+    """EDSR: unsupported geometry (H % m != 0) silently falls back to the
+    direct path with identical results."""
+    from sres_tpu.models import build_model
+    base = dict(name="edsr", nfeatures=64, nlayers=2, kernel_size=3,
+                res_scale=1.0, downscale_factors=[2, 2], loss_fn="l2",
+                lane_pack=2)
+    x = jnp.asarray(np.random.default_rng(5).normal(
+        size=(2, 10, 10, 1)).astype(np.float32))  # 10 % 4 != 0
+    m_dir = build_model(dict(base), 1, 1, precision="f32")
+    m_win = build_model(dict(base, winograd=4), 1, 1, precision="f32")
+    v = m_dir.init(jax.random.PRNGKey(0), x)
+    np.testing.assert_array_equal(m_win.apply(v, x), m_dir.apply(v, x))
+
+
 def test_winograd_sharded_grad():
     """The winograd train path (chain kernels + VJP) composes with a dp
     mesh: jit-with-shardings compiles and matches the unsharded gradients.
