@@ -11,14 +11,21 @@
 cd "$(dirname "$0")/../.."
 LOG=${LOG:-/tmp/wino_tpu5.log}
 : > "$LOG"
+UP=0
 for i in $(seq 1 60); do
   if timeout 300 python -c "import jax; jax.devices()" >/dev/null 2>&1; then
     echo "TPU up after $i probes" >> "$LOG"
+    UP=1
     break
   fi
   echo "probe $i: tunnel down" >> "$LOG"
   sleep 240
 done
+if [ "$UP" != 1 ]; then
+  echo "tunnel never came up — aborting queue" >> "$LOG"
+  echo DONE >> "$LOG"
+  exit 1
+fi
 for cmd in \
   "python scripts/bench/micro_winograd.py --only group_direct_fwd --bs 4" \
   "python scripts/bench/micro_winograd.py --only wino4_group_fwd --bs 4" \
