@@ -35,9 +35,11 @@ for cmd in \
   "python -u bench.py --serve --winograd 4 --wino-bs 4" \
   "python -u bench.py --eval --winograd 4 --wino-bs 4" \
   "python -u bench.py --winograd 4 --wino-bs 4" \
+  "SRES_WINO_STASH_PRIMAL=1 python -u bench.py --winograd 4 --wino-bs 4" \
+  "python -u bench.py" \
 ; do
   echo "=== $cmd" >> "$LOG"
-  timeout 3000 $cmd >> "$LOG" 2>&1
+  timeout 3000 bash -c "$cmd" >> "$LOG" 2>&1
   echo "--- exit $?" >> "$LOG"
 done
 echo DONE >> "$LOG"

@@ -58,7 +58,7 @@ class EDSR(nn.Module):
         skip = res
         if wino:
             from sres_tpu.models.wino_blocks import WinoConv
-            from sres_tpu.ops.pallas.wino_group_grad import wino_resgroup
+            from sres_tpu.ops.pallas.wino_group_grad import wino_resgroup_trail
             from sres_tpu.ops.winograd import from_quad, to_quad, wino_spec
             spec = wino_spec(wino, h, w)
             ws, bv = [], []
@@ -68,13 +68,15 @@ class EDSR(nn.Module):
                                         dtype=d, pack=pk,
                                         name=f"ResBlock_{i}")(res, collect=True)
                 ws.append(wpair); bv.append(bpair)
+            # trailing conv + global trunk skip fold into the chain kernel
+            wt, bt = WinoConv(self.nfeatures, pk, wino, (h, w), relu=False,
+                              use_bias=self.use_bias, bs=wbs, dtype=d,
+                              name="Conv_1")(res, collect=True)
             resq = to_quad(res.astype(d) if d else res, spec)
-            r = wino_resgroup(resq, jnp.stack(ws), jnp.stack(bv), wino,
-                              (h, w), wbs, float(self.res_scale))
-            r = WinoConv(self.nfeatures, pk, wino, (h, w), relu=False,
-                         use_bias=self.use_bias, bs=wbs, dtype=d,
-                         name="Conv_1")(r)
-            res = from_quad(r + resq, spec).astype(skip.dtype)
+            r = wino_resgroup_trail(resq, jnp.stack(ws), jnp.stack(bv),
+                                    wt, bt, wino, (h, w), wbs,
+                                    float(self.res_scale))
+            res = from_quad(r, spec).astype(skip.dtype)
         else:
             for i in range(self.nlayers):
                 res = ResBlock(self.nfeatures, self.kernel_size, self.use_bias,

@@ -177,7 +177,7 @@ class WinoResidualGroup(nn.Module):
     @nn.compact
     def __call__(self, q: jnp.ndarray) -> jnp.ndarray:
         if self.chain:
-            from sres_tpu.ops.pallas.wino_group_grad import wino_group
+            from sres_tpu.ops.pallas.wino_group_grad import wino_group_trail
             ws, bv, cw1, cb1, cw2, cb2 = [], [], [], [], [], []
             for i in range(self.nblocks):
                 w2, b2, a1, ab1, a2, ab2 = WinoRCAB(
@@ -186,16 +186,20 @@ class WinoResidualGroup(nn.Module):
                     name=f"RCAB_{i}")(q, collect=True)
                 ws.append(w2); bv.append(b2); cw1.append(a1)
                 cb1.append(ab1); cw2.append(a2); cb2.append(ab2)
-            r = wino_group(q, jnp.stack(ws), jnp.stack(bv),
-                           jnp.stack(cw1), jnp.stack(cb1),
-                           jnp.stack(cw2), jnp.stack(cb2),
-                           self.m, self.hw, self.bs)
-        else:
-            r = q
-            for i in range(self.nblocks):
-                r = WinoRCAB(self.features, self.reduction, self.m, self.hw,
-                             self.pack, self.bs, dtype=self.dtype,
-                             name=f"RCAB_{i}")(r)
+            # the trailing conv + group skip ride the SAME pallas_call as
+            # the RCAB chain (one fewer per-conv pipeline round-trip)
+            wt, bt = WinoConv(self.features, self.pack, self.m, self.hw,
+                              relu=False, bs=self.bs, dtype=self.dtype,
+                              name="Conv_0")(q, collect=True)
+            return wino_group_trail(q, jnp.stack(ws), jnp.stack(bv),
+                                    jnp.stack(cw1), jnp.stack(cb1),
+                                    jnp.stack(cw2), jnp.stack(cb2),
+                                    wt, bt, self.m, self.hw, self.bs)
+        r = q
+        for i in range(self.nblocks):
+            r = WinoRCAB(self.features, self.reduction, self.m, self.hw,
+                         self.pack, self.bs, dtype=self.dtype,
+                         name=f"RCAB_{i}")(r)
         r = WinoConv(self.features, self.pack, self.m, self.hw, relu=False,
                      bs=self.bs, dtype=self.dtype, name="Conv_0")(r)
         return q + r

@@ -50,6 +50,18 @@ import os as _os
 NB_CHUNK = int(_os.environ.get("SRES_WINO_NB_CHUNK", "4"))
 
 
+def _stash_primal() -> bool:
+    """Stash-in-primal-forward mode (SRES_WINO_STASH_PRIMAL=1): the primal
+    forward runs the stash sweep directly — each RCAB input is written to
+    HBM as the chain advances and saved as a VJP residual, so the backward
+    skips the chain replay (saves one group-forward per group per step,
+    ~8% of train est.). Cost: every group's stash is alive until its
+    backward (~5.2 GB at batch 72 / 10 groups) instead of one at a time —
+    viable at b72, not b144 (ROADMAP). Read at TRACE time: flipping the env
+    var does not invalidate already-compiled jits."""
+    return _os.environ.get("SRES_WINO_STASH_PRIMAL", "0") == "1"
+
+
 def _idx(n, i, j):
     return i * n + j
 
@@ -106,9 +118,9 @@ def _ca_fwd(rb, cw1, cb1, cw2, cb2, *, npix):
 
 # ------------------------------------------------------------ stash sweep
 def _stash_kernel(xq_ref, u_ref, b_ref, cw1_ref, cb1_ref, cw2_ref, cb2_ref,
-                  mask_ref, as_ref, qc, rb, w1, mm,
+                  mask_ref, as_ref, zq_ref, qc, rb, w1, mm,
                   *, spec: WinoSpec, bs: int, npix: int, gated: bool,
-                  res_scale: float):
+                  res_scale: float, trail: bool = False):
     mflat, mp = spec.mflat, _rup(spec.mflat)
     xdt = xq_ref.dtype
     mask = mask_ref[pl.ds(0, mflat), :]
@@ -122,27 +134,58 @@ def _stash_kernel(xq_ref, u_ref, b_ref, cw1_ref, cb1_ref, cw2_ref, cb2_ref,
     def _load_block():
         qc[:] = xq_ref[:]
 
-    # a_k = this RCAB's input → HBM stash
+    # a_k = this step's input → HBM stash (for trail=True, the last step's
+    # stash slot holds the chain output z = the trailing conv's input)
     as_ref[:, 0] = qc[:]
 
     kw = dict(spec=spec, bs=bs, w1=w1, mm=mm, mask=mask, xdt=xdt)
-    rb[:] = jnp.zeros_like(rb)
-    _conv_fwd(qc, rb, lambda i: u_ref[0, 0, i],
-              b_ref[0, 0, :].astype(jnp.float32), True, **kw)
-    _conv_fwd(rb, rb, lambda i: u_ref[0, 1, i],
-              b_ref[0, 1, :].astype(jnp.float32), False, **kw)
-    if gated:
-        _, _, g = _ca_fwd(rb, cw1_ref[0], cb1_ref[0], cw2_ref[0], cb2_ref[0],
-                          npix=npix)
-        gate = g[:, None, None, :]
+
+    def _residual_block():
+        rb[:] = jnp.zeros_like(rb)
+        _conv_fwd(qc, rb, lambda i: u_ref[0, 0, i],
+                  b_ref[0, 0, :].astype(jnp.float32), True, **kw)
+        _conv_fwd(rb, rb, lambda i: u_ref[0, 1, i],
+                  b_ref[0, 1, :].astype(jnp.float32), False, **kw)
+        if gated:
+            _, _, g = _ca_fwd(rb, cw1_ref[0], cb1_ref[0], cw2_ref[0],
+                              cb2_ref[0], npix=npix)
+            gate = g[:, None, None, :]
+        else:
+            gate = np.float32(res_scale)
+        qc[:] = (qc[:].astype(jnp.float32)
+                 + rb[:].astype(jnp.float32) * gate).astype(xdt)
+
+    if trail:
+        pl.when(k < pl.num_programs(1) - 1)(_residual_block)
+
+        @pl.when(k == pl.num_programs(1) - 1)
+        def _trailing_conv():
+            rb[:] = jnp.zeros_like(rb)
+            _conv_fwd(qc, rb, lambda i: u_ref[0, 0, i],
+                      b_ref[0, 0, :].astype(jnp.float32), False, **kw)
+            qc[:] = (xq_ref[:].astype(jnp.float32)
+                     + rb[:].astype(jnp.float32)).astype(xdt)
     else:
-        gate = np.float32(res_scale)
-    qc[:] = (qc[:].astype(jnp.float32)
-             + rb[:].astype(jnp.float32) * gate).astype(xdt)
+        _residual_block()
+
+    # chain output (for the trailing-conv backward when the trail is folded
+    # into the forward kernel — callers that don't need it ignore the output)
+    @pl.when(k == pl.num_programs(1) - 1)
+    def _store_final():
+        zq_ref[:] = qc[:]
 
 
 def _stash_call(xq, u, bv, cw1, cb1, cw2, cb2, spec: WinoSpec, bs: int,
-                npix: int, gated: bool = True, res_scale: float = 1.0):
+                npix: int, gated: bool = True, res_scale: float = 1.0,
+                ut=None, bt_=None):
+    """Replay the chain; returns (astash, z): each RCAB's input stashed to
+    HBM plus the chain output z (the trailing conv's input).
+
+    ut/bt_ (transformed trailing kernel (n², 128, 128) + bias (128,)), when
+    given, run the group's TRAILING conv + group skip as one extra grid
+    step (the stash-in-primal forward for the *_trail variants): astash
+    gains a slot nb holding z, and the second return value is the group
+    OUTPUT y = xq + conv(z) instead of z."""
     t = xq.shape[0]
     nb = u.shape[0]
     n2 = spec.n * spec.n
@@ -150,6 +193,18 @@ def _stash_call(xq, u, bv, cw1, cb1, cw2, cb2, spec: WinoSpec, bs: int,
     m2 = spec.m * spec.m
     xdt = xq.dtype
     cah = cw1.shape[-1]
+    trail = ut is not None
+    if trail:
+        u = jnp.concatenate(
+            [u, jnp.stack([ut.astype(xdt),
+                           jnp.zeros((n2, 128, 128), xdt)])[None]], axis=0)
+        bv = jnp.concatenate(
+            [bv, jnp.stack([bt_.astype(bv.dtype),
+                            jnp.zeros((128,), bv.dtype)])[None]], axis=0)
+        zpad = lambda a: jnp.concatenate(
+            [a, jnp.zeros((1,) + a.shape[1:], a.dtype)], axis=0)
+        cw1, cb1, cw2, cb2 = map(zpad, (cw1, cb1, cw2, cb2))
+        nb = nb + 1
     mask = jnp.asarray(np.pad(interior_mask(spec),
                               ((0, mp - spec.mflat), (0, 0))))
     blk = pl.BlockSpec((bs, m2, spec.pp, 128), lambda i, k: (i, 0, 0, 0))
@@ -157,14 +212,16 @@ def _stash_call(xq, u, bv, cw1, cb1, cw2, cb2, spec: WinoSpec, bs: int,
                                        lambda i, k: (k,) + (0,) * len(shape))
     return pl.pallas_call(
         functools.partial(_stash_kernel, spec=spec, bs=bs, npix=npix,
-                          gated=gated, res_scale=res_scale),
+                          gated=gated, res_scale=res_scale, trail=trail),
         grid=(t // bs, nb),
         in_specs=[blk, kblk(2, n2, 128, 128), kblk(2, 128),
                   kblk(128, cah), kblk(1, cah), kblk(cah, 128), kblk(1, 128),
                   pl.BlockSpec((mp, 1), lambda i, k: (0, 0))],
-        out_specs=pl.BlockSpec((bs, 1, m2, spec.pp, 128),
-                               lambda i, k: (i, k, 0, 0, 0)),
-        out_shape=jax.ShapeDtypeStruct((t, nb, m2, spec.pp, 128), xdt),
+        out_specs=(pl.BlockSpec((bs, 1, m2, spec.pp, 128),
+                                lambda i, k: (i, k, 0, 0, 0)),
+                   blk),
+        out_shape=(jax.ShapeDtypeStruct((t, nb, m2, spec.pp, 128), xdt),
+                   jax.ShapeDtypeStruct((t, m2, spec.pp, 128), xdt)),
         scratch_shapes=[pltpu.VMEM((bs, m2, spec.pp, 128), xdt),
                         pltpu.VMEM((bs, m2, spec.pp, 128), xdt),
                         pltpu.VMEM((n2, bs, mp, 128), xdt),
@@ -420,7 +477,34 @@ def _prep(ws, bvec, cab1, cab2, m, xdt):
             cab2.reshape(nb, 1, 128).astype(jnp.float32))
 
 
+def _chunk_loop(da, astash, u, bv, cw1, cb1, cw2, cb2, spec, bs, npix,
+                gated=True, res_scale=1.0):
+    """Reversed chunked backward over the whole RCAB stack. da: f32 chain-
+    output cotangent. Returns (da at the chain input, du, db, dcw1, dcb1,
+    dcw2, dcb2) with the per-block axes concatenated back in forward
+    order."""
+    nb = u.shape[0]
+    dus, dbs, dw1s, db1s, dw2s, db2s = [], [], [], [], [], []
+    for off in reversed(range(0, nb, NB_CHUNK)):
+        sl = slice(off, min(off + NB_CHUNK, nb))
+        da, du_c, db_c, dcw1_c, dcb1_c, dcw2_c, dcb2_c = _bwd_chunk_call(
+            da, astash[:, sl], u[sl], bv[sl], cw1[sl], cb1[sl], cw2[sl],
+            cb2[sl], spec, bs, npix, gated=gated, res_scale=res_scale)
+        dus.append(du_c); dbs.append(db_c); dw1s.append(dcw1_c)
+        db1s.append(dcb1_c); dw2s.append(dcw2_c); db2s.append(dcb2_c)
+    cat = lambda xs: jnp.concatenate(xs[::-1], axis=0)
+    return (da, cat(dus), cat(dbs), cat(dw1s), cat(db1s), cat(dw2s),
+            cat(db2s))
+
+
 def _vjp_fwd(xq, ws, bvec, caw1, cab1, caw2, cab2, m, hw, bs):
+    if _stash_primal():
+        spec = wino_spec(m, *hw)
+        u, bv, cb1, cb2 = _prep(ws, bvec, cab1, cab2, m, xq.dtype)
+        astash, y = _stash_call(xq, u, bv, caw1.astype(jnp.float32), cb1,
+                                caw2.astype(jnp.float32), cb2, spec, bs,
+                                hw[0] * hw[1])
+        return y, (astash, ws, bvec, caw1, cab1, caw2, cab2)
     y = wino_group_fwd(xq, ws, bvec, caw1, cab1, caw2, cab2, m, hw, bs)
     return y, (xq, ws, bvec, caw1, cab1, caw2, cab2)
 
@@ -430,34 +514,99 @@ def _vjp_bwd(m, hw, bs, res, dy):
     spec = wino_spec(m, *hw)
     npix = hw[0] * hw[1]
     nb = ws.shape[0]
+    xdt = xq.dtype                     # == activation dtype in both modes
+    u, bv, cb1, cb2 = _prep(ws, bvec, cab1, cab2, m, xdt)
+    cw1 = caw1.astype(jnp.float32)
+    cw2 = caw2.astype(jnp.float32)
+    if _stash_primal():
+        astash = xq                    # residual slot 0 IS the stash
+    else:
+        astash, _ = _stash_call(xq, u, bv, cw1, cb1, cw2, cb2, spec, bs,
+                                npix)
+    da, du, db, dw1, db1, dw2, db2 = _chunk_loop(
+        dy.astype(jnp.float32), astash, u, bv, cw1, cb1, cw2, cb2,
+        spec, bs, npix)
+    dws = jax.vmap(jax.vmap(
+        lambda d: untransform_weight_grad(d, m)))(du).astype(ws.dtype)
+    return (da.astype(xdt), dws,
+            db.astype(bvec.dtype),
+            dw1.astype(caw1.dtype),
+            db1.reshape(nb, -1).astype(cab1.dtype),
+            dw2.astype(caw2.dtype),
+            db2.reshape(nb, -1).astype(cab2.dtype))
+
+
+wino_group.defvjp(_vjp_fwd, _vjp_bwd)
+
+
+# ------------------------------------------- trailing-conv-folded variants
+@functools.partial(jax.custom_vjp, nondiff_argnums=(9, 10, 11))
+def wino_group_trail(xq: jnp.ndarray, ws: jnp.ndarray, bvec: jnp.ndarray,
+                     caw1: jnp.ndarray, cab1: jnp.ndarray,
+                     caw2: jnp.ndarray, cab2: jnp.ndarray,
+                     wt: jnp.ndarray, bt: jnp.ndarray,
+                     m: int, hw: Tuple[int, int], bs: int = 4) -> jnp.ndarray:
+    """wino_group + the group's TRAILING conv and group skip (reference
+    rcan/network.py:67-69) folded into the same forward pallas_call as one
+    extra grid step — one fewer per-conv pipeline round-trip per group.
+    wt: (3, 3, 128, 128) block-diag-expanded trailing kernel; bt: (128,).
+    Backward = stash sweep (which also emits the trailing conv's input) +
+    the per-conv adjoint kernel for the trailing conv + the chunked RCAB
+    backward; all gradients stay exact adjoints."""
+    return wino_group_fwd(xq, ws, bvec, caw1, cab1, caw2, cab2, m, hw, bs,
+                          wt=wt, bt_=bt)
+
+
+def _trail_vjp_fwd(xq, ws, bvec, caw1, cab1, caw2, cab2, wt, bt, m, hw, bs):
+    if _stash_primal():
+        spec = wino_spec(m, *hw)
+        u, bv, cb1, cb2 = _prep(ws, bvec, cab1, cab2, m, xq.dtype)
+        ut = transform_weights(wt, m).astype(xq.dtype)
+        astash, y = _stash_call(xq, u, bv, caw1.astype(jnp.float32), cb1,
+                                caw2.astype(jnp.float32), cb2, spec, bs,
+                                hw[0] * hw[1], ut=ut, bt_=bt)
+        return y, (astash, ws, bvec, caw1, cab1, caw2, cab2, wt, bt)
+    y = wino_group_trail(xq, ws, bvec, caw1, cab1, caw2, cab2, wt, bt,
+                         m, hw, bs)
+    return y, (xq, ws, bvec, caw1, cab1, caw2, cab2, wt, bt)
+
+
+def _trail_vjp_bwd(m, hw, bs, res, dy):
+    from sres_tpu.ops.pallas.winograd_conv import _bwd_call
+    xq, ws, bvec, caw1, cab1, caw2, cab2, wt, bt = res
+    spec = wino_spec(m, *hw)
+    npix = hw[0] * hw[1]
+    nb = ws.shape[0]
     xdt = xq.dtype
     u, bv, cb1, cb2 = _prep(ws, bvec, cab1, cab2, m, xdt)
     cw1 = caw1.astype(jnp.float32)
     cw2 = caw2.astype(jnp.float32)
-    astash = _stash_call(xq, u, bv, cw1, cb1, cw2, cb2, spec, bs, npix)
-    da = dy.astype(jnp.float32)
-    offs = list(range(0, nb, NB_CHUNK))
-    dus, dbs, dw1s, db1s, dw2s, db2s = [], [], [], [], [], []
-    for off in reversed(offs):
-        sl = slice(off, min(off + NB_CHUNK, nb))
-        da, du_c, db_c, dcw1_c, dcb1_c, dcw2_c, dcb2_c = _bwd_chunk_call(
-            da, astash[:, sl], u[sl], bv[sl], cw1[sl], cb1[sl], cw2[sl],
-            cb2[sl], spec, bs, npix)
-        dus.append(du_c); dbs.append(db_c); dw1s.append(dcw1_c)
-        db1s.append(dcb1_c); dw2s.append(dcw2_c); db2s.append(dcb2_c)
-    cat = lambda xs: jnp.concatenate(xs[::-1], axis=0)
-    du = cat(dus)                                   # (nb, 2, n², 128, 128)
+    ut = transform_weights(wt, m).astype(xdt)
+    if _stash_primal():
+        astash, z = xq[:, :nb], xq[:, nb]   # slot 0 = stash (+z at [nb])
+    else:
+        astash, z = _stash_call(xq, u, bv, cw1, cb1, cw2, cb2, spec, bs,
+                                npix)
+    # trailing conv adjoint (input = chain output z; no relu)
+    dz, dut, dbt = _bwd_call(dy.astype(xdt), z, z, ut, spec, bs, False)
+    dwt = untransform_weight_grad(dut, m).astype(wt.dtype)
+    da, du, db, dw1, db1, dw2, db2 = _chunk_loop(
+        dz.astype(jnp.float32), astash, u, bv, cw1, cb1, cw2, cb2,
+        spec, bs, npix)
+    # group skip: xq feeds the output directly
+    da = da + dy.astype(jnp.float32)
     dws = jax.vmap(jax.vmap(
         lambda d: untransform_weight_grad(d, m)))(du).astype(ws.dtype)
     return (da.astype(xdt), dws,
-            cat(dbs).astype(bvec.dtype),
-            cat(dw1s).astype(caw1.dtype),
-            cat(db1s).reshape(nb, -1).astype(cab1.dtype),
-            cat(dw2s).astype(caw2.dtype),
-            cat(db2s).reshape(nb, -1).astype(cab2.dtype))
+            db.astype(bvec.dtype),
+            dw1.astype(caw1.dtype),
+            db1.reshape(nb, -1).astype(cab1.dtype),
+            dw2.astype(caw2.dtype),
+            db2.reshape(nb, -1).astype(cab2.dtype),
+            dwt, dbt.reshape(-1).astype(bt.dtype))
 
 
-wino_group.defvjp(_vjp_fwd, _vjp_bwd)
+wino_group_trail.defvjp(_trail_vjp_fwd, _trail_vjp_bwd)
 
 
 # --------------------------------------------- ungated variant (EDSR trunk)
@@ -486,6 +635,17 @@ def wino_resgroup(xq: jnp.ndarray, ws: jnp.ndarray, bvec: jnp.ndarray,
 
 
 def _rg_vjp_fwd(xq, ws, bvec, m, hw, bs, res_scale):
+    if _stash_primal():
+        spec = wino_spec(m, *hw)
+        nb = ws.shape[0]
+        u = jax.vmap(jax.vmap(
+            lambda w: transform_weights(w, m)))(ws).astype(xq.dtype)
+        bv = bvec.reshape(nb, 2, 128).astype(jnp.float32)
+        cw1, cb1, cw2, cb2 = _dummy_ca(nb, xq.dtype)
+        astash, y = _stash_call(xq, u, bv, cw1, cb1, cw2, cb2, spec, bs,
+                                hw[0] * hw[1], gated=False,
+                                res_scale=res_scale)
+        return y, (astash, ws, bvec)
     y = wino_resgroup(xq, ws, bvec, m, hw, bs, res_scale)
     return y, (xq, ws, bvec)
 
@@ -499,21 +659,80 @@ def _rg_vjp_bwd(m, hw, bs, res_scale, res, dy):
     u = jax.vmap(jax.vmap(lambda w: transform_weights(w, m)))(ws).astype(xdt)
     bv = bvec.reshape(nb, 2, 128).astype(jnp.float32)
     cw1, cb1, cw2, cb2 = _dummy_ca(nb, xdt)
-    astash = _stash_call(xq, u, bv, cw1, cb1, cw2, cb2, spec, bs, npix,
-                         gated=False, res_scale=res_scale)
-    da = dy.astype(jnp.float32)
-    dus, dbs = [], []
-    for off in reversed(range(0, nb, NB_CHUNK)):
-        sl = slice(off, min(off + NB_CHUNK, nb))
-        da, du_c, db_c, _, _, _, _ = _bwd_chunk_call(
-            da, astash[:, sl], u[sl], bv[sl], cw1[sl], cb1[sl], cw2[sl],
-            cb2[sl], spec, bs, npix, gated=False, res_scale=res_scale)
-        dus.append(du_c); dbs.append(db_c)
-    du = jnp.concatenate(dus[::-1], axis=0)
+    if _stash_primal():
+        astash = xq                    # residual slot 0 IS the stash
+    else:
+        astash, _ = _stash_call(xq, u, bv, cw1, cb1, cw2, cb2, spec, bs,
+                                npix, gated=False, res_scale=res_scale)
+    da, du, db, _, _, _, _ = _chunk_loop(
+        dy.astype(jnp.float32), astash, u, bv, cw1, cb1, cw2, cb2,
+        spec, bs, npix, gated=False, res_scale=res_scale)
     dws = jax.vmap(jax.vmap(
         lambda d: untransform_weight_grad(d, m)))(du).astype(ws.dtype)
-    return (da.astype(xdt), dws,
-            jnp.concatenate(dbs[::-1], axis=0).astype(bvec.dtype))
+    return (da.astype(xdt), dws, db.astype(bvec.dtype))
 
 
 wino_resgroup.defvjp(_rg_vjp_fwd, _rg_vjp_bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8))
+def wino_resgroup_trail(xq: jnp.ndarray, ws: jnp.ndarray, bvec: jnp.ndarray,
+                        wt: jnp.ndarray, bt: jnp.ndarray,
+                        m: int, hw: Tuple[int, int], bs: int = 4,
+                        res_scale: float = 1.0) -> jnp.ndarray:
+    """wino_resgroup + the trunk's TRAILING conv and global skip (reference
+    EDSR body: common/residual.py:28 stack, then conv, then x + body) folded
+    into the forward pallas_call — the ungated twin of wino_group_trail."""
+    nb = ws.shape[0]
+    d1, d2, d3, d4 = _dummy_ca(nb, xq.dtype)
+    return wino_group_fwd(xq, ws, bvec, d1, d2.reshape(nb, 8),
+                          d3, d4.reshape(nb, 128), m, hw, bs,
+                          gated=False, res_scale=res_scale, wt=wt, bt_=bt)
+
+
+def _rgt_vjp_fwd(xq, ws, bvec, wt, bt, m, hw, bs, res_scale):
+    if _stash_primal():
+        spec = wino_spec(m, *hw)
+        nb = ws.shape[0]
+        u = jax.vmap(jax.vmap(
+            lambda w: transform_weights(w, m)))(ws).astype(xq.dtype)
+        bv = bvec.reshape(nb, 2, 128).astype(jnp.float32)
+        cw1, cb1, cw2, cb2 = _dummy_ca(nb, xq.dtype)
+        ut = transform_weights(wt, m).astype(xq.dtype)
+        astash, y = _stash_call(xq, u, bv, cw1, cb1, cw2, cb2, spec, bs,
+                                hw[0] * hw[1], gated=False,
+                                res_scale=res_scale, ut=ut, bt_=bt)
+        return y, (astash, ws, bvec, wt, bt)
+    y = wino_resgroup_trail(xq, ws, bvec, wt, bt, m, hw, bs, res_scale)
+    return y, (xq, ws, bvec, wt, bt)
+
+
+def _rgt_vjp_bwd(m, hw, bs, res_scale, res, dy):
+    from sres_tpu.ops.pallas.winograd_conv import _bwd_call
+    xq, ws, bvec, wt, bt = res
+    spec = wino_spec(m, *hw)
+    npix = hw[0] * hw[1]
+    nb = ws.shape[0]
+    xdt = xq.dtype
+    u = jax.vmap(jax.vmap(lambda w: transform_weights(w, m)))(ws).astype(xdt)
+    bv = bvec.reshape(nb, 2, 128).astype(jnp.float32)
+    cw1, cb1, cw2, cb2 = _dummy_ca(nb, xdt)
+    ut = transform_weights(wt, m).astype(xdt)
+    if _stash_primal():
+        astash, z = xq[:, :nb], xq[:, nb]   # slot 0 = stash (+z at [nb])
+    else:
+        astash, z = _stash_call(xq, u, bv, cw1, cb1, cw2, cb2, spec, bs,
+                                npix, gated=False, res_scale=res_scale)
+    dz, dut, dbt = _bwd_call(dy.astype(xdt), z, z, ut, spec, bs, False)
+    dwt = untransform_weight_grad(dut, m).astype(wt.dtype)
+    da, du, db, _, _, _, _ = _chunk_loop(
+        dz.astype(jnp.float32), astash, u, bv, cw1, cb1, cw2, cb2,
+        spec, bs, npix, gated=False, res_scale=res_scale)
+    da = da + dy.astype(jnp.float32)
+    dws = jax.vmap(jax.vmap(
+        lambda d: untransform_weight_grad(d, m)))(du).astype(ws.dtype)
+    return (da.astype(xdt), dws, db.astype(bvec.dtype),
+            dwt, dbt.reshape(-1).astype(bt.dtype))
+
+
+wino_resgroup_trail.defvjp(_rgt_vjp_fwd, _rgt_vjp_bwd)

@@ -424,7 +424,8 @@ def wino_chain_fwd(xq: jnp.ndarray, ws: jnp.ndarray, bvec: jnp.ndarray,
 def _group_fwd_kernel(xq_ref, u_ref, b_ref, cw1_ref, cb1_ref, cw2_ref,
                       cb2_ref, mask_ref, yq_ref, qc, rb, w1, mm,
                       *, spec: WinoSpec, bs: int, nb: int, npix: int,
-                      gated: bool = True, res_scale: float = 1.0):
+                      gated: bool = True, res_scale: float = 1.0,
+                      trail: bool = False):
     """One grid step = one full residual block on VMEM-resident activations.
     gated=True: RCAB (conv+relu → conv → channel attention → block skip;
     reference CA: sres/model/rcan/network.py:31-48) — CA runs in-kernel
@@ -432,7 +433,14 @@ def _group_fwd_kernel(xq_ref, u_ref, b_ref, cw1_ref, cb1_ref, cw2_ref,
     npix). gated=False: plain ResBlock (conv+relu → conv → ×res_scale →
     skip; reference: sres/model/common/residual.py:28 — EDSR trunk); the CA
     refs are inert. Same pipeline-amortization rationale as
-    _chain_fwd_kernel."""
+    _chain_fwd_kernel.
+
+    trail=True: the LAST grid step (k == nb-1) is not a residual block but
+    the group's TRAILING conv + group skip (reference rcan/network.py:67-69:
+    body conv after the RCAB stack, then x + body) — weight slot [k, 0] of
+    that step holds the trailing conv, slot [k, 1] and the CA operands are
+    inert pads. Folding it in saves one per-conv pallas_call round-trip per
+    group (the per-conv block pipeline is 65% of its wall time, PERF.md)."""
     m, n = spec.m, spec.n
     mflat, mp = spec.mflat, _rup(spec.mflat)
     bt, at = spec.bt, spec.at
@@ -486,28 +494,42 @@ def _group_fwd_kernel(xq_ref, u_ref, b_ref, cw1_ref, cb1_ref, cw2_ref,
                 pidx, off = spec.out_tap(u, v_)
                 dst[:, pidx, pl.ds(off, mflat), :] = (y * mask).astype(xdt)
 
-    # RCAB: conv1+relu → conv2 (in place: stage 1 fully consumes rb into w1
-    # before the inverse transform writes it; borders stay zero)
-    conv(qc, rb, 0, True, True)
-    conv(rb, rb, 1, False, False)
+    def _residual_block():
+        # RCAB: conv1+relu → conv2 (in place: stage 1 fully consumes rb into
+        # w1 before the inverse transform writes it; borders stay zero)
+        conv(qc, rb, 0, True, True)
+        conv(rb, rb, 1, False, False)
 
-    if gated:
-        # channel attention: pooled mean → 1×1 convs → sigmoid gate
-        s = jnp.sum(rb[:, :, :, :].astype(jnp.float32), axis=(1, 2))
-        mean = s * np.float32(1.0 / npix)
-        g = jnp.maximum(jnp.dot(mean, cw1_ref[0],
-                                preferred_element_type=jnp.float32)
-                        + cb1_ref[0], 0.0)
-        g = jax.nn.sigmoid(jnp.dot(g, cw2_ref[0],
-                                   preferred_element_type=jnp.float32)
-                           + cb2_ref[0])
-        gate = g[:, None, None, :]
+        if gated:
+            # channel attention: pooled mean → 1×1 convs → sigmoid gate
+            s = jnp.sum(rb[:, :, :, :].astype(jnp.float32), axis=(1, 2))
+            mean = s * np.float32(1.0 / npix)
+            g = jnp.maximum(jnp.dot(mean, cw1_ref[0],
+                                    preferred_element_type=jnp.float32)
+                            + cb1_ref[0], 0.0)
+            g = jax.nn.sigmoid(jnp.dot(g, cw2_ref[0],
+                                       preferred_element_type=jnp.float32)
+                               + cb2_ref[0])
+            gate = g[:, None, None, :]
+        else:
+            gate = np.float32(res_scale)
+
+        # block skip with the gated/scaled residual
+        qc[:] = (qc[:].astype(jnp.float32)
+                 + rb[:].astype(jnp.float32) * gate).astype(xdt)
+
+    if trail:
+        pl.when(k < nb - 1)(_residual_block)
+
+        @pl.when(k == nb - 1)
+        def _trailing_conv():
+            # trailing conv (no relu) + group skip from the pristine input
+            # block (xq_ref always holds the original operand block)
+            conv(qc, rb, 0, False, True)
+            qc[:] = (xq_ref[:].astype(jnp.float32)
+                     + rb[:].astype(jnp.float32)).astype(xdt)
     else:
-        gate = np.float32(res_scale)
-
-    # block skip with the gated/scaled residual
-    qc[:] = (qc[:].astype(jnp.float32)
-             + rb[:].astype(jnp.float32) * gate).astype(xdt)
+        _residual_block()
 
     @pl.when(k == nb - 1)
     def _store_block():
@@ -518,13 +540,19 @@ def wino_group_fwd(xq: jnp.ndarray, ws: jnp.ndarray, bvec: jnp.ndarray,
                    caw1: jnp.ndarray, cab1: jnp.ndarray,
                    caw2: jnp.ndarray, cab2: jnp.ndarray,
                    m: int, hw: Tuple[int, int], bs: int = 4,
-                   gated: bool = True, res_scale: float = 1.0) -> jnp.ndarray:
+                   gated: bool = True, res_scale: float = 1.0,
+                   wt: Optional[jnp.ndarray] = None,
+                   bt_: Optional[jnp.ndarray] = None) -> jnp.ndarray:
     """A whole residual group's RCAB stack (reference rcan/network.py:50-66)
     in ONE pallas_call over quad planes. ws: (nb, 2, 3, 3, 128, 128) spatial
     conv weights (block-diag-expanded); bvec: (nb, 2, 128); caw1/cab1/caw2/
     cab2: packed channel-attention 1×1 weights (nb, 128, ch)/(nb, 1, ch)/
     (nb, ch, 128)/(nb, 1, 128). Forward only (serving/eval path — no VJP).
-    The group's trailing conv + group skip stay outside (wino_conv_quad)."""
+
+    wt/bt_ ((3, 3, 128, 128) / (128,)), when given, fold the group's
+    TRAILING conv + group skip (reference rcan/network.py:67-69) into the
+    same pallas_call as one extra grid step — otherwise they stay outside
+    (wino_conv_quad)."""
     spec = wino_spec(m, *hw)
     t = xq.shape[0]
     nb = ws.shape[0]
@@ -533,17 +561,29 @@ def wino_group_fwd(xq: jnp.ndarray, ws: jnp.ndarray, bvec: jnp.ndarray,
     mp = _rup(spec.mflat)
     xdt = xq.dtype
     u = jax.vmap(jax.vmap(lambda w: transform_weights(w, m)))(ws).astype(xdt)
+    cah = caw1.shape[-1]
+    trail = wt is not None
+    if trail:
+        ut = jnp.stack([transform_weights(wt, m).astype(xdt),
+                        jnp.zeros((n2, 128, 128), xdt)])
+        u = jnp.concatenate([u, ut[None]], axis=0)
+        bvec = jnp.concatenate(
+            [bvec, jnp.stack([bt_.astype(bvec.dtype),
+                              jnp.zeros((128,), bvec.dtype)])[None]], axis=0)
+        zpad = lambda a: jnp.concatenate(
+            [a, jnp.zeros((1,) + a.shape[1:], a.dtype)], axis=0)
+        caw1, cab1, caw2, cab2 = map(zpad, (caw1, cab1, caw2, cab2))
+        nb = nb + 1
     mask = jnp.asarray(np.pad(interior_mask(spec),
                               ((0, mp - spec.mflat), (0, 0))))
     blk = lambda: pl.BlockSpec((bs, spec.m * spec.m, spec.pp, 128),
                                lambda i, k: (i, 0, 0, 0))
     kblk = lambda *shape: pl.BlockSpec((1,) + shape,
                                        lambda i, k: (k,) + (0,) * len(shape))
-    cah = caw1.shape[-1]
     return pl.pallas_call(
         functools.partial(_group_fwd_kernel, spec=spec, bs=bs, nb=nb,
                           npix=hw[0] * hw[1], gated=gated,
-                          res_scale=res_scale),
+                          res_scale=res_scale, trail=trail),
         grid=(t // bs, nb),
         in_specs=[
             blk(),

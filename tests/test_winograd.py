@@ -361,3 +361,156 @@ def test_kernel_chain_gradcheck():
         np.testing.assert_allclose(
             g1, g2, rtol=3e-3, atol=3e-3 * float(jnp.max(jnp.abs(g2))),
             err_msg=name)
+
+
+def test_group_trail_vjp_gradcheck():
+    """wino_group_trail: the RCAB stack PLUS the group's trailing conv and
+    group skip (reference rcan/network.py:67-69) folded into the same
+    pallas_call — all gradients (incl. the trailing conv's) match jax.grad
+    of the composed direct-conv reference."""
+    from sres_tpu.ops.pallas.wino_group_grad import wino_group_trail
+    rng = np.random.default_rng(11)
+    t, hh, nb, cah, m = 4, 8, 2, 64, 4
+    x = jnp.asarray(rng.normal(size=(t, hh, hh, 128)).astype(np.float32))
+    ws = jnp.asarray((rng.normal(size=(nb, 2, 3, 3, 128, 128)) * 0.05).astype(np.float32))
+    bv = jnp.asarray((rng.normal(size=(nb, 2, 128)) * 0.05).astype(np.float32))
+    cw1 = jnp.asarray((rng.normal(size=(nb, 128, cah)) * 0.1).astype(np.float32))
+    cb1 = jnp.asarray((rng.normal(size=(nb, cah)) * 0.1).astype(np.float32))
+    cw2 = jnp.asarray((rng.normal(size=(nb, cah, 128)) * 0.1).astype(np.float32))
+    cb2 = jnp.asarray((rng.normal(size=(nb, 128)) * 0.1).astype(np.float32))
+    wt = jnp.asarray((rng.normal(size=(3, 3, 128, 128)) * 0.05).astype(np.float32))
+    bt = jnp.asarray((rng.normal(size=(128,)) * 0.05).astype(np.float32))
+
+    def ref(x, ws, bv, cw1, cb1, cw2, cb2, wt, bt):
+        q = x
+        for i in range(nb):
+            r = direct(q, ws[i, 0], bv[i, 0], relu=True)
+            r = direct(r, ws[i, 1], bv[i, 1], relu=False)
+            mean = jnp.mean(r, axis=(1, 2))
+            g = jnp.maximum(mean @ cw1[i] + cb1[i], 0.0)
+            g = jax.nn.sigmoid(g @ cw2[i] + cb2[i])
+            q = q + r * g[:, None, None, :]
+        return x + direct(q, wt, bt, relu=False)
+
+    spec = wino_spec(m, hh, hh)
+
+    def ours(x, ws, bv, cw1, cb1, cw2, cb2, wt, bt):
+        return from_quad(wino_group_trail(to_quad(x, spec), ws, bv, cw1,
+                                          cb1, cw2, cb2, wt, bt, m,
+                                          (hh, hh), 2), spec)
+
+    np.testing.assert_allclose(
+        ours(x, ws, bv, cw1, cb1, cw2, cb2, wt, bt),
+        ref(x, ws, bv, cw1, cb1, cw2, cb2, wt, bt),
+        rtol=0, atol=3e-5 * float(jnp.max(jnp.abs(
+            ref(x, ws, bv, cw1, cb1, cw2, cb2, wt, bt)))))
+    loss = lambda f: lambda *a: jnp.sum(f(*a) ** 2)
+    g0 = jax.grad(loss(ref), argnums=tuple(range(9)))(
+        x, ws, bv, cw1, cb1, cw2, cb2, wt, bt)
+    g1 = jax.grad(loss(ours), argnums=tuple(range(9)))(
+        x, ws, bv, cw1, cb1, cw2, cb2, wt, bt)
+    for nm, a, b in zip(["dx", "dws", "dbv", "dcw1", "dcb1", "dcw2",
+                         "dcb2", "dwt", "dbt"], g0, g1):
+        np.testing.assert_allclose(
+            b, a, rtol=0, atol=3e-5 * float(jnp.max(jnp.abs(a)) + 1e-30),
+            err_msg=nm)
+
+
+def test_resgroup_trail_gradcheck():
+    """wino_resgroup_trail (ungated EDSR trunk + trailing conv + global
+    skip, res_scale exercised): forward and all gradients match the
+    composed direct path."""
+    from sres_tpu.ops.pallas.wino_group_grad import wino_resgroup_trail
+    rng = np.random.default_rng(12)
+    t, hh, nb, m, rs = 4, 8, 3, 2, 0.7
+    x = jnp.asarray(rng.normal(size=(t, hh, hh, 128)).astype(np.float32))
+    ws = jnp.asarray((rng.normal(size=(nb, 2, 3, 3, 128, 128)) * 0.05).astype(np.float32))
+    bv = jnp.asarray((rng.normal(size=(nb, 2, 128)) * 0.05).astype(np.float32))
+    wt = jnp.asarray((rng.normal(size=(3, 3, 128, 128)) * 0.05).astype(np.float32))
+    bt = jnp.asarray((rng.normal(size=(128,)) * 0.05).astype(np.float32))
+
+    def ref(x, ws, bv, wt, bt):
+        q = x
+        for i in range(nb):
+            r = direct(q, ws[i, 0], bv[i, 0], relu=True)
+            r = direct(r, ws[i, 1], bv[i, 1], relu=False)
+            q = q + r * rs
+        return x + direct(q, wt, bt, relu=False)
+
+    spec = wino_spec(m, hh, hh)
+
+    def ours(x, ws, bv, wt, bt):
+        return from_quad(wino_resgroup_trail(to_quad(x, spec), ws, bv,
+                                             wt, bt, m, (hh, hh), 2, rs),
+                         spec)
+
+    np.testing.assert_allclose(
+        ours(x, ws, bv, wt, bt), ref(x, ws, bv, wt, bt),
+        rtol=0, atol=3e-5 * float(jnp.max(jnp.abs(ref(x, ws, bv, wt, bt)))))
+    loss = lambda f: lambda *a: jnp.sum(f(*a) ** 2)
+    g0 = jax.grad(loss(ref), argnums=tuple(range(5)))(x, ws, bv, wt, bt)
+    g1 = jax.grad(loss(ours), argnums=tuple(range(5)))(x, ws, bv, wt, bt)
+    for nm, a, b in zip(["dx", "dws", "dbv", "dwt", "dbt"], g0, g1):
+        np.testing.assert_allclose(
+            b, a, rtol=0, atol=3e-5 * float(jnp.max(jnp.abs(a)) + 1e-30),
+            err_msg=nm)
+
+
+def test_stash_primal_gradcheck(monkeypatch):
+    """SRES_WINO_STASH_PRIMAL=1: the primal forward runs the stash sweep
+    (astash saved as a VJP residual, no chain replay in backward). Forward
+    and gradients of the trail variants match the default mode exactly."""
+    monkeypatch.setenv("SRES_WINO_STASH_PRIMAL", "1")
+    from sres_tpu.ops.pallas.wino_group_grad import (wino_group,
+                                                     wino_group_trail,
+                                                     wino_resgroup_trail)
+    rng = np.random.default_rng(13)
+    t, hh, nb, cah, m = 2, 8, 2, 8, 2
+    x = jnp.asarray(rng.normal(size=(t, hh, hh, 128)).astype(np.float32))
+    ws = jnp.asarray((rng.normal(size=(nb, 2, 3, 3, 128, 128)) * 0.05).astype(np.float32))
+    bv = jnp.asarray((rng.normal(size=(nb, 2, 128)) * 0.05).astype(np.float32))
+    cw1 = jnp.asarray((rng.normal(size=(nb, 128, cah)) * 0.1).astype(np.float32))
+    cb1 = jnp.asarray((rng.normal(size=(nb, cah)) * 0.1).astype(np.float32))
+    cw2 = jnp.asarray((rng.normal(size=(nb, cah, 128)) * 0.1).astype(np.float32))
+    cb2 = jnp.asarray((rng.normal(size=(nb, 128)) * 0.1).astype(np.float32))
+    wt = jnp.asarray((rng.normal(size=(3, 3, 128, 128)) * 0.05).astype(np.float32))
+    bt = jnp.asarray((rng.normal(size=(128,)) * 0.05).astype(np.float32))
+    spec = wino_spec(m, hh, hh)
+    loss = lambda f: lambda *a: jnp.sum(f(*a) ** 2)
+
+    def gated(x, ws, bv, cw1, cb1, cw2, cb2, wt, bt):
+        return from_quad(wino_group_trail(to_quad(x, spec), ws, bv, cw1,
+                                          cb1, cw2, cb2, wt, bt, m,
+                                          (hh, hh), 2), spec)
+
+    def ungated(x, ws, bv, wt, bt):
+        return from_quad(wino_resgroup_trail(to_quad(x, spec), ws, bv,
+                                             wt, bt, m, (hh, hh), 2, 0.6),
+                         spec)
+
+    def plain(x, ws, bv, cw1, cb1, cw2, cb2):
+        return from_quad(wino_group(to_quad(x, spec), ws, bv, cw1, cb1,
+                                    cw2, cb2, m, (hh, hh), 2), spec)
+
+    def run():
+        y = gated(x, ws, bv, cw1, cb1, cw2, cb2, wt, bt)
+        g = jax.grad(loss(gated), argnums=(0, 1, 7))(
+            x, ws, bv, cw1, cb1, cw2, cb2, wt, bt)
+        yu = ungated(x, ws, bv, wt, bt)
+        gu = jax.grad(loss(ungated), argnums=(0, 1, 3))(x, ws, bv, wt, bt)
+        yp = plain(x, ws, bv, cw1, cb1, cw2, cb2)
+        gp = jax.grad(loss(plain), argnums=(0, 1))(
+            x, ws, bv, cw1, cb1, cw2, cb2)
+        return (y, yu, yp), g + gu + gp
+
+    ys1, gs1 = run()
+    monkeypatch.setenv("SRES_WINO_STASH_PRIMAL", "0")
+    ys0, gs0 = run()
+
+    for a, b in zip(ys1, ys0):
+        np.testing.assert_allclose(a, b, rtol=0, atol=1e-6)
+    for a, b, nm in zip(gs1, gs0, ["dx", "dws", "dwt", "u_dx", "u_dws",
+                                   "u_dwt", "p_dx", "p_dws"]):
+        np.testing.assert_allclose(
+            a, b, rtol=0, atol=3e-6 * float(jnp.max(jnp.abs(b)) + 1e-30),
+            err_msg=nm)
