@@ -29,13 +29,18 @@ fi
 for cmd in \
   "python scripts/bench/micro_winograd.py --only group_direct_fwd --bs 4" \
   "python scripts/bench/micro_winograd.py --only wino4_group_fwd --bs 4" \
+  "python scripts/bench/micro_winograd.py --only wino2_group_fwd --bs 4" \
   "python scripts/bench/micro_winograd.py --only group_direct_fb --bs 4" \
   "python scripts/bench/micro_winograd.py --only wino4_group_fb --bs 4" \
+  "python scripts/bench/micro_winograd.py --only wino2_group_fb --bs 4" \
   "python scripts/bench/micro_winograd.py --only wino4_chain_fwd --bs 4" \
+  "python -u bench.py --serve --winograd 2 --wino-bs 4" \
+  "python -u bench.py --eval --winograd 2 --wino-bs 4" \
+  "python -u bench.py --winograd 2 --wino-bs 4" \
   "python -u bench.py --serve --winograd 4 --wino-bs 4" \
   "python -u bench.py --eval --winograd 4 --wino-bs 4" \
   "python -u bench.py --winograd 4 --wino-bs 4" \
-  "SRES_WINO_STASH_PRIMAL=1 python -u bench.py --winograd 4 --wino-bs 4" \
+  "SRES_WINO_STASH_PRIMAL=1 python -u bench.py --winograd 2 --wino-bs 4" \
   "python -u bench.py" \
 ; do
   echo "=== $cmd" >> "$LOG"
