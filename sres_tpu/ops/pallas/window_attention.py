@@ -27,6 +27,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from sres_tpu.ops.pallas.partition import batch_partitioned
+
 
 def _interpret() -> bool:
     return jax.default_backend() != "tpu"
@@ -145,7 +147,7 @@ def _specs(shapes):
     return [pl.BlockSpec(s, lambda i, _s=s: tuple(0 for _ in _s)) for s in shapes]
 
 
-def _fwd_call(x, wqkv, bqkv, wo, bo, bias, mask, heads: int):
+def _fwd_call_impl(x, wqkv, bqkv, wo, bo, bias, mask, heads: int):
     nw, t, c = x.shape
     BW = _block_w(nw, t)
     kern = functools.partial(_fwd_kernel, heads=heads, BW=BW)
@@ -161,7 +163,18 @@ def _fwd_call(x, wqkv, bqkv, wo, bo, bias, mask, heads: int):
     )(x, wqkv, bqkv, wo, bo, bias, mask)
 
 
-def _bwd_call(x, g, wqkv, bqkv, wo, bo, bias, mask, heads: int):
+# dp sharding contract: x and mask are window-batch-leading, weights/bias
+# replicated; the output inherits x's leading-axis sharding. _block_w
+# re-picks BW from the LOCAL shard length inside the impl, so no
+# local_bs_argnum is needed.
+_fwd_call = batch_partitioned(
+    static_argnums=(7,),
+    rule="t a1 a2, b1 b2, c1 c2, d1 d2, e1 e2, f1 f2 f3, t m1 m2 -> t a1 a2",
+    batch_args=(0, 6),
+)(_fwd_call_impl)
+
+
+def _bwd_call_impl(x, g, wqkv, bqkv, wo, bo, bias, mask, heads: int):
     nw, t, c = x.shape
     h = heads
     BW = _block_w(nw, t)
@@ -185,6 +198,17 @@ def _bwd_call(x, g, wqkv, bqkv, wo, bo, bias, mask, heads: int):
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
         interpret=_interpret(),
     )(x, g, wqkv, bqkv, wo, bo, bias, mask)
+
+
+# weight/bias grads are sums over the window-batch axis: psum-ed inside the
+# partitioned body, replicated outside; dx stays batch-sharded.
+_bwd_call = batch_partitioned(
+    static_argnums=(8,),
+    rule=("t a1 a2, t a1 a2, b1 b2, c1 c2, d1 d2, e1 e2, f1 f2 f3, t m1 m2 "
+          "-> t a1 a2, b1 b2, c1 c2, d1 d2, e1 e2, f1 f2 f3"),
+    summed=(1, 2, 3, 4, 5),
+    batch_args=(0, 1, 7),
+)(_bwd_call_impl)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(7,))

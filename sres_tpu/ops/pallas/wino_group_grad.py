@@ -35,6 +35,7 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from sres_tpu.ops.pallas.partition import batch_partitioned
 from sres_tpu.ops.pallas.winograd_conv import (_interpret, _rup,
                                                wino_group_fwd)
 from sres_tpu.ops.winograd import (WinoSpec, at_apply, at_t_apply, bt_apply,
@@ -205,13 +206,26 @@ def _stash_call(xq, u, bv, cw1, cb1, cw2, cb2, spec: WinoSpec, bs: int,
             [a, jnp.zeros((1,) + a.shape[1:], a.dtype)], axis=0)
         cw1, cb1, cw2, cb2 = map(zpad, (cw1, cb1, cw2, cb2))
         nb = nb + 1
-    mask = jnp.asarray(np.pad(interior_mask(spec),
-                              ((0, mp - spec.mflat), (0, 0))))
+    from sres_tpu.ops.pallas.winograd_conv import _mask_arr
+    return _stash_exec(xq, u, bv, cw1, cb1, cw2, cb2, _mask_arr(spec),
+                       spec, bs, gated, res_scale, trail)
+
+
+def _stash_exec_impl(xq, u, bv, cw1, cb1, cw2, cb2, mask, spec, bs, gated,
+                     res_scale, trail):
+    t = xq.shape[0]
+    nb = u.shape[0]
+    n2 = spec.n * spec.n
+    mp = _rup(spec.mflat)
+    m2 = spec.m * spec.m
+    xdt = xq.dtype
+    cah = cw1.shape[-1]
     blk = pl.BlockSpec((bs, m2, spec.pp, 128), lambda i, k: (i, 0, 0, 0))
     kblk = lambda *shape: pl.BlockSpec((1,) + shape,
                                        lambda i, k: (k,) + (0,) * len(shape))
     return pl.pallas_call(
-        functools.partial(_stash_kernel, spec=spec, bs=bs, npix=npix,
+        functools.partial(_stash_kernel, spec=spec, bs=bs,
+                          npix=spec.h * spec.w,
                           gated=gated, res_scale=res_scale, trail=trail),
         grid=(t // bs, nb),
         in_specs=[blk, kblk(2, n2, 128, 128), kblk(2, 128),
@@ -230,6 +244,14 @@ def _stash_call(xq, u, bv, cw1, cb1, cw2, cb2, spec: WinoSpec, bs: int,
             vmem_limit_bytes=110 * 1024 * 1024),
         interpret=_interpret(),
     )(xq, u, bv, cw1, cb1, cw2, cb2, mask)
+
+
+_stash_exec = batch_partitioned(
+    static_argnums=(8, 9, 10, 11, 12),
+    rule=("t a1 a2 a3, b1 b2 b3 b4 b5, c1 c2 c3, d1 d2 d3, e1 e2 e3, "
+          "f1 f2 f3, g1 g2 g3, p1 p2 -> t s1 s2 s3 s4, t a1 a2 a3"),
+    local_bs_argnum=9,
+)(_stash_exec_impl)
 
 
 # -------------------------------------------------------- backward chunk
@@ -404,6 +426,14 @@ def _bwd_chunk_call(dy, astash, u, bv, cw1, cb1, cw2, cb2,
     (T, m², PP, 128) cotangent of the chunk output; astash: (T, nbc, …)
     stashed RCAB inputs. Returns (dx f32, du f32, db, dcw1, dcb1, dcw2,
     dcb2)."""
+    from sres_tpu.ops.pallas.winograd_conv import _mask_arr
+    return _bwd_chunk_exec(dy, astash, u, bv, cw1, cb1, cw2, cb2,
+                           _mask_arr(spec), spec, bs, gated, res_scale)
+
+
+def _bwd_chunk_exec_impl(dy, astash, u, bv, cw1, cb1, cw2, cb2, mask,
+                         spec: WinoSpec, bs: int,
+                         gated: bool = True, res_scale: float = 1.0):
     t = dy.shape[0]
     nbc = u.shape[0]
     n2 = spec.n * spec.n
@@ -411,8 +441,7 @@ def _bwd_chunk_call(dy, astash, u, bv, cw1, cb1, cw2, cb2,
     m2 = spec.m * spec.m
     xdt = astash.dtype
     cah = cw1.shape[-1]
-    mask = jnp.asarray(np.pad(interior_mask(spec),
-                              ((0, mp - spec.mflat), (0, 0))))
+    npix = spec.h * spec.w
     fblk = pl.BlockSpec((bs, m2, spec.pp, 128), lambda i, k: (i, 0, 0, 0))
     # reverse index maps: kernel step kk processes RCAB nbc-1-kk
     rkblk = lambda *shape: pl.BlockSpec(
@@ -456,6 +485,17 @@ def _bwd_chunk_call(dy, astash, u, bv, cw1, cb1, cw2, cb2,
     )(dy, astash, u, bv, cw1, cb1, cw2, cb2, mask)
 
 
+_bwd_chunk_exec = batch_partitioned(
+    static_argnums=(9, 10, 11, 12),
+    rule=("t a1 a2 a3, t s1 s2 s3 s4, b1 b2 b3 b4 b5, c1 c2 c3, d1 d2 d3, "
+          "e1 e2 e3, f1 f2 f3, g1 g2 g3, p1 p2 -> t a1 a2 a3, "
+          "h1 h2 h3 h4 h5, i1 i2 i3, j1 j2 j3, k1 k2 k3, l1 l2 l3, m1 m2 m3"),
+    summed=(1, 2, 3, 4, 5, 6),
+    local_bs_argnum=10,
+    batch_args=(0, 1),
+)(_bwd_chunk_exec_impl)
+
+
 # ------------------------------------------------------------ public entry
 @functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9))
 def wino_group(xq: jnp.ndarray, ws: jnp.ndarray, bvec: jnp.ndarray,
@@ -489,7 +529,7 @@ def _chunk_loop(da, astash, u, bv, cw1, cb1, cw2, cb2, spec, bs, npix,
         sl = slice(off, min(off + NB_CHUNK, nb))
         da, du_c, db_c, dcw1_c, dcb1_c, dcw2_c, dcb2_c = _bwd_chunk_call(
             da, astash[:, sl], u[sl], bv[sl], cw1[sl], cb1[sl], cw2[sl],
-            cb2[sl], spec, bs, npix, gated=gated, res_scale=res_scale)
+            cb2[sl], spec, bs, npix, gated, res_scale)
         dus.append(du_c); dbs.append(db_c); dw1s.append(dcw1_c)
         db1s.append(dcb1_c); dw2s.append(dcw2_c); db2s.append(dcb2_c)
     cat = lambda xs: jnp.concatenate(xs[::-1], axis=0)

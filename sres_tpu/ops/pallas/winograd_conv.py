@@ -41,6 +41,7 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from sres_tpu.ops.pallas.partition import batch_partitioned
 from sres_tpu.ops.winograd import (WinoSpec, interior_mask,
                                    untransform_weight_grad, wino_spec,
                                    transform_weights)
@@ -161,14 +162,24 @@ def _fwd_kernel(xq_ref, u_ref, b_ref, mask_ref, yq_ref, w1, mm,
             yq_ref[:, pidx, pl.ds(off, mflat), :] = (y * mask).astype(xdt)
 
 
+def _mask_arr(spec: WinoSpec):
+    """(mp, 1) interior mask as an explicit operand — custom_partitioning
+    requires the wrapped jaxprs to be closed-over-constant-free."""
+    mp = _rup(spec.mflat)
+    return jnp.asarray(np.pad(interior_mask(spec),
+                              ((0, mp - spec.mflat), (0, 0))))
+
+
 def _fwd_call(xq, u, b, spec: WinoSpec, bs: int, relu: bool):
+    assert xq.shape[0] % bs == 0, (xq.shape, bs)
+    return _fwd_exec(xq, u, b, _mask_arr(spec), spec, bs, relu)
+
+
+def _fwd_exec_impl(xq, u, b, mask, spec: WinoSpec, bs: int, relu: bool):
     t = xq.shape[0]
-    assert t % bs == 0, (t, bs)
     n2 = spec.n * spec.n
     mp = _rup(spec.mflat)
     xdt = xq.dtype
-    mask = jnp.asarray(np.pad(interior_mask(spec),
-                              ((0, mp - spec.mflat), (0, 0))))
     return pl.pallas_call(
         functools.partial(_fwd_kernel, spec=spec, bs=bs, relu=relu),
         grid=(t // bs,),
@@ -188,6 +199,13 @@ def _fwd_call(xq, u, b, spec: WinoSpec, bs: int, relu: bool):
             vmem_limit_bytes=110 * 1024 * 1024),
         interpret=_interpret(),
     )(xq, u, b, mask)
+
+
+_fwd_exec = batch_partitioned(
+    static_argnums=(4, 5, 6),
+    rule="t a1 a2 a3, b1 b2 b3, c1 c2, p1 p2 -> t a1 a2 a3",
+    local_bs_argnum=5,
+)(_fwd_exec_impl)
 
 
 # ----------------------------------------------------------------- backward
@@ -275,13 +293,15 @@ def _bwd_kernel(g_ref, xq_ref, yq_ref, u_ref, mask_ref,
 
 
 def _bwd_call(g, xq, yq, u, spec: WinoSpec, bs: int, relu: bool):
+    return _bwd_exec(g, xq, yq, u, _mask_arr(spec), spec, bs, relu)
+
+
+def _bwd_exec_impl(g, xq, yq, u, mask, spec: WinoSpec, bs: int, relu: bool):
     t = xq.shape[0]
     n2 = spec.n * spec.n
     mp = _rup(spec.mflat)
     m2 = spec.m * spec.m
     xdt = xq.dtype
-    mask = jnp.asarray(np.pad(interior_mask(spec),
-                              ((0, mp - spec.mflat), (0, 0))))
     blk = lambda: pl.BlockSpec((bs, m2, spec.pp, 128), lambda i: (i, 0, 0, 0))
     return pl.pallas_call(
         functools.partial(_bwd_kernel, spec=spec, bs=bs, relu=relu),
@@ -303,6 +323,16 @@ def _bwd_call(g, xq, yq, u, spec: WinoSpec, bs: int, relu: bool):
             vmem_limit_bytes=110 * 1024 * 1024),
         interpret=_interpret(),
     )(g, xq, yq, u, mask)
+
+
+_bwd_exec = batch_partitioned(
+    static_argnums=(5, 6, 7),
+    rule=("t a1 a2 a3, t a1 a2 a3, t a1 a2 a3, b1 b2 b3, p1 p2 "
+          "-> t a1 a2 a3, c1 c2 c3, d1 d2"),
+    summed=(1, 2),
+    local_bs_argnum=6,
+    batch_args=(0, 1, 2),
+)(_bwd_exec_impl)
 
 
 # ------------------------------------------------------- chained forward
@@ -574,15 +604,29 @@ def wino_group_fwd(xq: jnp.ndarray, ws: jnp.ndarray, bvec: jnp.ndarray,
             [a, jnp.zeros((1,) + a.shape[1:], a.dtype)], axis=0)
         caw1, cab1, caw2, cab2 = map(zpad, (caw1, cab1, caw2, cab2))
         nb = nb + 1
-    mask = jnp.asarray(np.pad(interior_mask(spec),
-                              ((0, mp - spec.mflat), (0, 0))))
+    return _group_call(xq, u, bvec.reshape(nb, 2, 128).astype(jnp.float32),
+                       caw1.astype(jnp.float32),
+                       cab1.reshape(nb, 1, cah).astype(jnp.float32),
+                       caw2.astype(jnp.float32),
+                       cab2.reshape(nb, 1, 128).astype(jnp.float32),
+                       _mask_arr(spec), spec, bs, gated, res_scale, trail)
+
+
+def _group_call_impl(xq, u, bv, cw1, cb1, cw2, cb2, mask, spec, bs, gated,
+                     res_scale, trail):
+    t = xq.shape[0]
+    nb = u.shape[0]
+    n2 = spec.n * spec.n
+    mp = _rup(spec.mflat)
+    xdt = xq.dtype
+    cah = cw1.shape[-1]
     blk = lambda: pl.BlockSpec((bs, spec.m * spec.m, spec.pp, 128),
                                lambda i, k: (i, 0, 0, 0))
     kblk = lambda *shape: pl.BlockSpec((1,) + shape,
                                        lambda i, k: (k,) + (0,) * len(shape))
     return pl.pallas_call(
         functools.partial(_group_fwd_kernel, spec=spec, bs=bs, nb=nb,
-                          npix=hw[0] * hw[1], gated=gated,
+                          npix=spec.h * spec.w, gated=gated,
                           res_scale=res_scale, trail=trail),
         grid=(t // bs, nb),
         in_specs=[
@@ -601,10 +645,15 @@ def wino_group_fwd(xq: jnp.ndarray, ws: jnp.ndarray, bvec: jnp.ndarray,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=110 * 1024 * 1024),
         interpret=_interpret(),
-    )(xq, u, bvec.reshape(nb, 2, 128).astype(jnp.float32),
-      caw1.astype(jnp.float32), cab1.reshape(nb, 1, cah).astype(jnp.float32),
-      caw2.astype(jnp.float32), cab2.reshape(nb, 1, 128).astype(jnp.float32),
-      mask)
+    )(xq, u, bv, cw1, cb1, cw2, cb2, mask)
+
+
+_group_call = batch_partitioned(
+    static_argnums=(8, 9, 10, 11, 12),
+    rule=("t a1 a2 a3, b1 b2 b3 b4 b5, c1 c2 c3, d1 d2 d3, e1 e2 e3, "
+          "f1 f2 f3, g1 g2 g3, p1 p2 -> t a1 a2 a3"),
+    local_bs_argnum=9,
+)(_group_call_impl)
 
 
 # ------------------------------------------------------------- public entry

@@ -56,6 +56,36 @@ def test_gradients_match():
                                    err_msg=f"grad mismatch: {n}")
 
 
+def test_window_attention_sharded_grad():
+    """The attention kernel composes with a dp mesh under plain GSPMD via
+    its batch_partitioned sharding contract (ops/pallas/partition.py):
+    the sharded jit runs per-shard — no activation all-gathers; weight/bias
+    grads arrive through the partitioner's psum — and matches the unsharded
+    gradients."""
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    args = _inputs(2)
+
+    def lf(*a):
+        return jnp.sum(jnp.cos(fused_window_attention(*a, H)))
+
+    g0 = jax.grad(lf, argnums=tuple(range(6)))(*args)
+
+    mesh = Mesh(np.array(jax.devices()), ("data",))
+    shard = [NamedSharding(mesh, P("data", None, None))] + \
+        [NamedSharding(mesh, P()) for _ in range(5)] + \
+        [NamedSharding(mesh, P("data", None, None))]
+    sargs = tuple(jax.device_put(a, s) for a, s in zip(args, shard))
+    jitted = jax.jit(jax.grad(lf, argnums=tuple(range(6))))
+    hlo = jitted.lower(*sargs).compile().as_text()
+    assert hlo.count("all-gather") == 0, "attention operands were gathered"
+    g1 = jitted(*sargs)
+    for i, (a, b) in enumerate(zip(g0, g1)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-5, atol=2e-6,
+                                   err_msg=f"sharded grad mismatch: arg {i}")
+
+
 def test_fused_window_attention_16x16_windows():
     """16x16 windows (T=256) — the block-size cap keeps per-head score
     tensors VMEM-resident (round-1 verdict roadmap #4)."""

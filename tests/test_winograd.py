@@ -294,9 +294,12 @@ def test_edsr_winograd_fallback():
 
 def test_winograd_sharded_grad():
     """The winograd train path (chain kernels + VJP) composes with a dp
-    mesh: jit-with-shardings compiles and matches the unsharded gradients.
-    (Virtual-mesh correctness only; real multi-chip needs
-    custom_partitioning — ROADMAP 3b.)"""
+    mesh under plain GSPMD: every pallas entry registers its batch-parallel
+    sharding contract via custom_partitioning (ops/pallas/partition.py), so
+    the sharded jit runs per-shard — NO activation all-gathers; the weight
+    grads arrive through the partitioner's all-reduce — and matches the
+    unsharded gradients. Closes ROADMAP 3b (pipeline.shard_map is no longer
+    required for pure-dp winograd; it remains as the manual alternative)."""
     from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
     from sres_tpu.models import build_model
     base = dict(name="rcan", nfeatures=64, nlayers=1, nblocks=2,
@@ -314,7 +317,11 @@ def test_winograd_sharded_grad():
     mesh = Mesh(np.array(jax.devices()), ("data",))
     xs = jax.device_put(x, NamedSharding(mesh, P("data")))
     vs = jax.device_put(v, NamedSharding(mesh, P()))
-    g1 = jax.jit(jax.grad(loss))(vs, xs)
+    jitted = jax.jit(jax.grad(loss))
+    hlo = jitted.lower(vs, xs).compile().as_text()
+    assert hlo.count("all-gather") == 0, "winograd kernels were gathered"
+    assert hlo.count("all-reduce(") >= 1, "missing weight-grad all-reduce"
+    g1 = jitted(vs, xs)
     for (k0, a), (k1, b) in zip(
             jax.tree_util.tree_leaves_with_path(g0),
             jax.tree_util.tree_leaves_with_path(g1)):
