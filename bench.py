@@ -29,6 +29,29 @@ A100_BASELINE_TILES_PER_SEC = 135.0        # training (fwd+bwd+Adam)
 A100_BASELINE_EVAL_TILES_PER_SEC = 405.0   # inference ≈ 1/3 the train cost
 
 
+def _probe_tpu(timeout_s: int = 240) -> None:
+    """Fail fast when the axon tunnel is dead instead of hanging on backend
+    init (the tunnel drops out for hours at a time — CLAUDE.md). Probes
+    device discovery in a subprocess with a hard timeout; on failure exits
+    2 with a diagnostic on stderr so the driver can retry, rather than
+    stalling until its own watchdog fires. SRES_BENCH_NO_PROBE=1 skips."""
+    if os.environ.get("SRES_BENCH_NO_PROBE") == "1":
+        return
+    import subprocess
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c", "import jax; jax.devices()"],
+            timeout=timeout_s, capture_output=True)
+        if r.returncode == 0:
+            return
+        msg = r.stderr.decode(errors="replace")[-400:]
+    except subprocess.TimeoutExpired:
+        msg = f"device discovery still hanging after {timeout_s}s"
+    print(f"bench.py: TPU backend unavailable (axon tunnel down?): {msg}",
+          file=sys.stderr)
+    sys.exit(2)
+
+
 def _hbm_peak_gb(jax) -> float:
     """Peak device-memory usage in GB; -1 when the backend has no stats
     (CPU, some remote backends)."""
@@ -93,6 +116,8 @@ def main() -> None:
                 "--eval/--serve, or --int8-fused / --int8-full for "
                 "quantized TRAINING throughput.")
 
+    if not args.cpu:
+        _probe_tpu()
     import jax
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")

@@ -565,3 +565,25 @@ def test_winograd_bf16_noise_envelope():
                                    precision="bf16"))
         assert fe <= f_mult * fe_d + 1e-4, (m, fe, fe_d)
         assert med <= g_mult * med_d + 1e-4, (m, med, med_d)
+
+
+def test_partition_local_block_resize():
+    """batch_partitioned re-picks the kernel sample block size for the
+    LOCAL shard length: a global batch that divides by the requested bs
+    can shard to a local length that doesn't (24 tiles over 8 devices →
+    local 3, bs 4 → 3). The sharded forward must still match unsharded
+    bit-for-bit in f32 (ops/pallas/partition.py local_bs_argnum)."""
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    t, h, w = 24, 8, 8
+    x, wt, b = _data(t=t, h=h, w=w)
+    xq = to_quad(x, wino_spec(2, h, w))
+    y0 = wino_conv_quad(xq, wt, b, 2, (h, w), relu=True, bs=4)
+
+    mesh = Mesh(np.array(jax.devices()), ("data",))
+    xqs = jax.device_put(xq, NamedSharding(mesh, P("data")))
+    f = jax.jit(lambda a: wino_conv_quad(a, wt, b, 2, (h, w), relu=True,
+                                         bs=4))
+    hlo = f.lower(xqs).compile().as_text()
+    assert hlo.count("all-gather") == 0, "operand was gathered"
+    np.testing.assert_array_equal(np.asarray(f(xqs)), np.asarray(y0))
