@@ -587,3 +587,45 @@ def test_partition_local_block_resize():
     hlo = f.lower(xqs).compile().as_text()
     assert hlo.count("all-gather") == 0, "operand was gathered"
     np.testing.assert_array_equal(np.asarray(f(xqs)), np.asarray(y0))
+
+
+def test_winograd_2d_mesh_train_step():
+    """model.winograd under the 2D dp×sp mesh (pipeline.mesh
+    {data,spatial}): the partitioner reshards the spatially-sharded
+    activations onto the batch-parallel kernel contract (a gather along
+    H — correctness path; dp is the perf path), and the step's loss
+    matches the single-device step to f32 noise."""
+    from jax.sharding import Mesh
+    from sres_tpu.models import build_model
+    from sres_tpu.trainer.step import (StepConfig, build_optimizer,
+                                       build_train_step, init_state)
+
+    mcfg = dict(name="rcan", nfeatures=64, nlayers=1, nblocks=1,
+                cbottleneck=2, kernel_size=3, downscale_factors=[2, 2],
+                loss_fn="l2", lane_pack=2, winograd=2)
+    model = build_model(mcfg, 1, 1, precision="f32")
+    sc = StepConfig(scale=4, downscale_factors=(2, 2), down_mode="bicubic",
+                    up_mode="bicubic", loss_fn="l2", data_downsample=1.0,
+                    target_idx=(0,), nchannels_in=1, has_bn=False)
+
+    class _T(dict):
+        def get(self, k, d=None):
+            return dict.get(self, k, d)
+
+        def __getattr__(self, k):
+            return self[k]
+
+    opt = build_optimizer(_T(lr=1e-4))
+    lr0 = jnp.zeros((1, 12, 12, 1), jnp.float32)
+    hr = jnp.asarray(np.random.default_rng(0).normal(
+        size=(8, 1, 48, 48)), jnp.float32)
+    wt = jnp.ones((8,), jnp.float32)
+    devices = np.asarray(jax.devices())
+
+    losses = []
+    for mesh in (Mesh(devices.reshape(4, 2), ("data", "spatial")),
+                 Mesh(devices[:1], ("data",))):
+        st, _ = init_state(model, opt, lr0, seed=0)
+        _, m = build_train_step(model, opt, sc, mesh)(st, hr, wt)
+        losses.append(float(m["mloss"]))
+    assert abs(losses[0] - losses[1]) < 1e-5, losses
