@@ -629,3 +629,16 @@ def test_winograd_2d_mesh_train_step():
         _, m = build_train_step(model, opt, sc, mesh)(st, hr, wt)
         losses.append(float(m["mloss"]))
     assert abs(losses[0] - losses[1]) < 1e-5, losses
+
+
+def test_partition_kill_switch(monkeypatch):
+    """SRES_PALLAS_GSPMD=0 routes callers to the raw pallas calls (no
+    custom_partitioning wrapper) with identical results — the documented
+    escape hatch if a partitioner regression ever lands."""
+    t, h, w = 4, 8, 8
+    x, wt, b = _data(t=t, h=h, w=w)
+    xq = to_quad(x, wino_spec(2, h, w))
+    y_on = wino_conv_quad(xq, wt, b, 2, (h, w), relu=True, bs=2)
+    monkeypatch.setenv("SRES_PALLAS_GSPMD", "0")
+    y_off = wino_conv_quad(xq, wt, b, 2, (h, w), relu=True, bs=2)
+    np.testing.assert_array_equal(np.asarray(y_on), np.asarray(y_off))
