@@ -105,6 +105,12 @@ def main() -> None:
                         "exact-adjoint gradients, f32 accumulation)")
     p.add_argument("--wino-bs", type=int, default=0, dest="wino_bs",
                    help="Winograd kernel samples-per-block (0 = auto)")
+    p.add_argument("--scan-groups", action="store_true", dest="scan_groups",
+                   help="lax.scan the RCAN trunk's identical residual "
+                        "groups/RCABs with stacked params (same param tree, "
+                        "bit-identical bf16) — collapses 410 trunk convs to "
+                        "one group body in the HLO, cutting compile time "
+                        "(models/scan_trunk.py)")
     p.add_argument("--scan", type=int, default=0,
                    help="K>0: run K optimizer steps per device dispatch "
                         "(lax.scan over K staged batches) — amortizes "
@@ -145,6 +151,7 @@ def main() -> None:
                                   else "int8_fused" if args.int8_fused
                                   else "int8" if args.int8 else None),
                     winograd=(args.winograd or None),
+                    scan_groups=args.scan_groups,
                     winograd_bs=args.wino_bs)
     precision = "f32" if args.f32 else "bf16"
     model = build_model(mcfg, 1, 1, precision=precision)
@@ -283,7 +290,7 @@ def main() -> None:
                                          else A100_BASELINE_TILES_PER_SEC), 3),
         "detail": {
             "devices": ndev, "batch": batch, "steps": args.steps,
-            "precision": precision, "lane_pack": args.lane_pack, "fused": args.fused, "scan": scan, "int8": args.int8, "int8_fused": args.int8_fused, "int8_full": args.int8_full, "winograd": args.winograd, "step_ms": round(1000 * dt / args.steps, 2),
+            "precision": precision, "lane_pack": args.lane_pack, "fused": args.fused, "scan": scan, "int8": args.int8, "int8_fused": args.int8_fused, "int8_full": args.int8_full, "winograd": args.winograd, "scan_groups": args.scan_groups, "step_ms": round(1000 * dt / args.steps, 2),
             "loss": loss_val, "mfu": round(mfu, 4),
             "hbm_peak_gb": _hbm_peak_gb(jax),
             # compile-time footprint (args+temp+out-aliased) of the step

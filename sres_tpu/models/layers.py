@@ -313,11 +313,23 @@ class CALayer(nn.Module):
     pack: int = 1
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+    def __call__(self, x: jnp.ndarray, collect: bool = False):
+        c1 = Conv(self.channels // self.reduction, 1, dtype=self.dtype,
+                  pack=self.pack)
+        c2 = Conv(self.channels, 1, dtype=self.dtype, pack=self.pack)
+        if collect:
+            # declare the same params; return the expanded 1×1 conv weights
+            # for the scanned trunk (models/scan_trunk.py). x supplies the
+            # packed channel count only.
+            cpk = x.shape[-1]
+            cah = (self.channels // self.reduction) * self.pack
+            w1, b1 = c1(jnp.zeros((1, 1, 1, cpk), x.dtype), collect=True)
+            w2, b2 = c2(jnp.zeros((1, 1, 1, cah), x.dtype), collect=True)
+            return w1, b1, w2, b2
         y = jnp.mean(x, axis=(1, 2), keepdims=True)
-        y = Conv(self.channels // self.reduction, 1, dtype=self.dtype, pack=self.pack)(y)
+        y = c1(y)
         y = nn.relu(y)
-        y = Conv(self.channels, 1, dtype=self.dtype, pack=self.pack)(y)
+        y = c2(y)
         return x * jax.nn.sigmoid(y)
 
 
@@ -331,13 +343,20 @@ class RCAB(nn.Module):
     quant: Optional[str] = None   # trunk 3x3 convs only; CA 1x1s stay full-prec
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
-        r = Conv(self.features, self.kernel_size, dtype=self.dtype, pack=self.pack,
-                 quant=self.quant)(x)
+    def __call__(self, x: jnp.ndarray, collect: bool = False):
+        c1 = Conv(self.features, self.kernel_size, dtype=self.dtype, pack=self.pack,
+                  quant=self.quant)
+        c2 = Conv(self.features, self.kernel_size, dtype=self.dtype, pack=self.pack,
+                  quant=self.quant)
+        ca = CALayer(self.features, self.reduction, dtype=self.dtype, pack=self.pack)
+        if collect:
+            w1, b1 = c1(x, collect=True)
+            w2, b2 = c2(x, collect=True)
+            return (jnp.stack([w1, w2]), jnp.stack([b1, b2])) + ca(x, collect=True)
+        r = c1(x)
         r = nn.relu(r)
-        r = Conv(self.features, self.kernel_size, dtype=self.dtype, pack=self.pack,
-                 quant=self.quant)(r)
-        r = CALayer(self.features, self.reduction, dtype=self.dtype, pack=self.pack)(r)
+        r = c2(r)
+        r = ca(r)
         return x + r
 
 
@@ -352,7 +371,26 @@ class ResidualGroup(nn.Module):
     quant: Optional[str] = None
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+    def __call__(self, x: jnp.ndarray, collect: bool = False):
+        if collect:
+            # declare the identical param tree, return per-group stacked
+            # weights for the scanned trunk (models/scan_trunk.py):
+            # w (nblocks, 2, k, k, Cp, Cp), b (nblocks, 2, Cp), CA operands,
+            # trailing conv wt/bt.
+            ws, bs, cw1s, cb1s, cw2s, cb2s = [], [], [], [], [], []
+            for _ in range(self.nblocks):
+                w, b, cw1, cb1, cw2, cb2 = RCAB(
+                    self.features, self.kernel_size, self.reduction,
+                    dtype=self.dtype, pack=self.pack,
+                    quant=self.quant)(x, collect=True)
+                ws.append(w); bs.append(b); cw1s.append(cw1)
+                cb1s.append(cb1); cw2s.append(cw2); cb2s.append(cb2)
+            wt, bt = Conv(self.features, self.kernel_size, dtype=self.dtype,
+                          pack=self.pack, quant=self.quant)(x, collect=True)
+            return dict(w=jnp.stack(ws), b=jnp.stack(bs),
+                        cw1=jnp.stack(cw1s), cb1=jnp.stack(cb1s),
+                        cw2=jnp.stack(cw2s), cb2=jnp.stack(cb2s),
+                        wt=wt, bt=bt)
         r = x
         for _ in range(self.nblocks):
             r = RCAB(self.features, self.kernel_size, self.reduction,

@@ -10,6 +10,7 @@ from __future__ import annotations
 
 from typing import Any, Optional, Sequence
 
+import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
@@ -40,6 +41,12 @@ class RCAN(nn.Module):
     # Param tree is identical to the direct path (wino_blocks.py).
     winograd_bs: int = 0  # samples per kernel block; 0 = auto (largest
     # divisor of the packed batch ≤ 4, the measured optimum — PERF.md)
+    scan_groups: bool = False  # lax.scan the trunk's identical residual
+    # groups (and the RCABs inside them) with stacked params instead of
+    # unrolling 410 convs into the HLO — same param tree (collect-mode
+    # declaration), bit-identical outputs, ~80x smaller trunk HLO and
+    # minutes off tunnel compiles (models/scan_trunk.py). Direct path only:
+    # silently ignored under fused/winograd/quantization.
     remat_trunk: Optional[bool] = None  # checkpoint each residual group.
     # None = auto: ON for int8_full (its custom VJP stashes per-conv int8
     # activations — ~9 GB at batch 144 without remat, which blows HBM and
@@ -107,7 +114,25 @@ class RCAN(nn.Module):
                            use_bias=self.use_bias, bs=wbs,
                            dtype=d, name="Conv_1")(res)
             res = from_quad(res + skip_q, spec).astype(skip.dtype)
+        elif self.scan_groups and not self.fused and not self.quantization:
+            from sres_tpu.models.scan_trunk import scan_trunk
+            gps = [ResidualGroup(self.nfeatures, self.kernel_size,
+                                 self.cbottleneck, self.nblocks, dtype=d,
+                                 pack=pk, name=f"ResidualGroup_{i}")(
+                                     res, collect=True)
+                   for i in range(self.nlayers)]
+            stacked = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *gps)
+            res = scan_trunk(res, stacked, d, remat=remat)
+            res = Conv(self.nfeatures, self.kernel_size, use_bias=self.use_bias,
+                       dtype=d, pack=pk, name="Conv_1")(res)
+            res = res + skip
         else:
+            if self.scan_groups:
+                import logging
+                logging.getLogger("sres").info(
+                    "model.scan_groups requested but unsupported with "
+                    "fused=%s quantization=%s — using the unrolled trunk "
+                    "(identical results)", self.fused, self.quantization)
             for i in range(self.nlayers):
                 if self.fused and pk == 2:
                     from sres_tpu.models.fused import FusedResidualGroup
@@ -147,7 +172,8 @@ def build(model_cfg, nchannels_in: int, nchannels_out: int, dtype=None, temporal
     p = resolve_parms(model_cfg, dict(cbottleneck=2, nblocks=20, fused=False,
                                       pervar_heads=False, lane_pack=1,
                                       quantization=None, remat_trunk=None,
-                                      winograd=None, winograd_bs=0),
+                                      winograd=None, winograd_bs=0,
+                                      scan_groups=False),
                       nchannels_in=nchannels_in, nchannels_out=nchannels_out)
     return RCAN(
         nchannels_in=p["nchannels_in"], nchannels_out=p["nchannels_out"],
@@ -158,5 +184,6 @@ def build(model_cfg, nchannels_in: int, nchannels_out: int, dtype=None, temporal
         quantization=p["quantization"], remat_trunk=p["remat_trunk"],
         winograd=(int(p["winograd"]) if p["winograd"] else None),
         winograd_bs=int(p["winograd_bs"]),
+        scan_groups=bool(p["scan_groups"]),
         dtype=dtype,
     )

@@ -1,0 +1,80 @@
+"""model.scan_groups: the lax.scan'd RCAN trunk (models/scan_trunk.py) must
+be a pure compile-time transform — identical param tree, outputs equal to
+the unrolled path (bit-equal in bf16; one-ulp conv-algorithm noise in f32),
+gradients equal to f32 roundoff, and a trunk HLO that no longer scales with
+nlayers×nblocks. Replaces the loop structure of the reference RCAN trunk
+(sres/model/rcan/network.py:67-80)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from sres_tpu.models import build_model
+
+BASE = dict(name="rcan", nfeatures=8, nlayers=3, nblocks=2, cbottleneck=2,
+            kernel_size=3, downscale_factors=[2, 2], loss_fn="l2",
+            lane_pack=2)
+
+
+def _pair(prec, **kw):
+    m0 = build_model(dict(BASE, **kw), 1, 1, precision=prec)
+    m1 = build_model(dict(BASE, scan_groups=True, **kw), 1, 1, precision=prec)
+    x = jnp.asarray(np.random.default_rng(0).normal(
+        size=(4, 8, 8, 1)), jnp.float32)
+    v = m0.init(jax.random.PRNGKey(0), x)
+    # same init seed => identical params; trees must match exactly
+    v1 = m1.init(jax.random.PRNGKey(0), x)
+    assert jax.tree_util.tree_structure(v) == jax.tree_util.tree_structure(v1)
+    return m0, m1, v, x
+
+
+def test_scan_groups_forward_parity_bf16():
+    m0, m1, v, x = _pair("bf16")
+    np.testing.assert_array_equal(np.asarray(m0.apply(v, x)),
+                                  np.asarray(m1.apply(v, x)))
+
+
+def test_scan_groups_forward_parity_f32():
+    m0, m1, v, x = _pair("f32")
+    y0, y1 = m0.apply(v, x), m1.apply(v, x)
+    np.testing.assert_allclose(np.asarray(y1), np.asarray(y0),
+                               rtol=0, atol=1e-5)
+
+
+def test_scan_groups_grad_parity():
+    m0, m1, v, x = _pair("f32")
+
+    def loss(m):
+        return lambda p: jnp.sum(m.apply(p, x) ** 2)
+
+    g0 = jax.grad(loss(m0))(v)
+    g1 = jax.grad(loss(m1))(v)
+    for (k, a), (_, b) in zip(jax.tree_util.tree_leaves_with_path(g0),
+                              jax.tree_util.tree_leaves_with_path(g1)):
+        np.testing.assert_allclose(
+            np.asarray(b), np.asarray(a), rtol=0,
+            atol=5e-6 * (float(jnp.max(jnp.abs(a))) + 1e-30),
+            err_msg=jax.tree_util.keystr(k))
+
+
+def test_scan_groups_collapses_hlo():
+    """The point of the mode: trunk convs no longer scale with depth.
+    3x2 and 6x4 scanned trunks lower to the SAME number of convolutions."""
+    x = jnp.asarray(np.random.default_rng(0).normal(
+        size=(4, 8, 8, 1)), jnp.float32)
+
+    def n_convs(nlayers, nblocks):
+        m = build_model(dict(BASE, scan_groups=True, nlayers=nlayers,
+                             nblocks=nblocks), 1, 1, precision="f32")
+        v = m.init(jax.random.PRNGKey(0), x)
+        txt = jax.jit(lambda p, a: m.apply(p, a)).lower(v, x).as_text()
+        return txt.count("stablehlo.convolution")
+
+    assert n_convs(3, 2) == n_convs(6, 4)
+
+
+def test_scan_groups_fallback_quant():
+    """Unsupported combos (quantization) silently use the unrolled trunk
+    with identical results."""
+    m0, m1, v, x = _pair("f32", quantization="int8_fused")
+    np.testing.assert_array_equal(np.asarray(m0.apply(v, x)),
+                                  np.asarray(m1.apply(v, x)))
