@@ -111,6 +111,10 @@ def main() -> None:
                         "bit-identical bf16) — collapses 410 trunk convs to "
                         "one group body in the HLO, cutting compile time "
                         "(models/scan_trunk.py)")
+    p.add_argument("--packed-opt", action="store_true", dest="packed_opt",
+                   help="optax.flatten the optimizer: Adam on one raveled "
+                        "vector instead of ~1630 leaves (pipeline.packed_opt;"
+                        " collapses ~80%% of the step HLO text)")
     p.add_argument("--scan", type=int, default=0,
                    help="K>0: run K optimizer steps per device dispatch "
                         "(lax.scan over K staged batches) — amortizes "
@@ -157,6 +161,8 @@ def main() -> None:
     model = build_model(mcfg, 1, 1, precision=precision)
 
     optimizer = optax.adam(1e-4)
+    if args.packed_opt:
+        optimizer = optax.flatten(optimizer)
     state, has_bn = init_state(model, optimizer,
                                jnp.zeros((1, 48, 48, 1), jnp.float32), seed=0)
     sc = StepConfig(scale=4, downscale_factors=(2, 2), down_mode="bicubic",
@@ -290,7 +296,7 @@ def main() -> None:
                                          else A100_BASELINE_TILES_PER_SEC), 3),
         "detail": {
             "devices": ndev, "batch": batch, "steps": args.steps,
-            "precision": precision, "lane_pack": args.lane_pack, "fused": args.fused, "scan": scan, "int8": args.int8, "int8_fused": args.int8_fused, "int8_full": args.int8_full, "winograd": args.winograd, "scan_groups": args.scan_groups, "step_ms": round(1000 * dt / args.steps, 2),
+            "precision": precision, "lane_pack": args.lane_pack, "fused": args.fused, "scan": scan, "int8": args.int8, "int8_fused": args.int8_fused, "int8_full": args.int8_full, "winograd": args.winograd, "scan_groups": args.scan_groups, "packed_opt": args.packed_opt, "step_ms": round(1000 * dt / args.steps, 2),
             "loss": loss_val, "mfu": round(mfu, 4),
             "hbm_peak_gb": _hbm_peak_gb(jax),
             # compile-time footprint (args+temp+out-aliased) of the step

@@ -330,19 +330,29 @@ def build_eval_step(model, sc: StepConfig, mesh: Optional[Mesh] = None,
     return jax.jit(eval_step)
 
 
-def build_optimizer(task) -> optax.GradientTransformation:
+def build_optimizer(task, packed: bool = False) -> optax.GradientTransformation:
     """Adam with the task lr / weight decay (reference: dual_trainer.py:126).
 
     With ``task.scheduler`` configured the learning rate becomes an injected
     hyperparameter updated once per epoch from the host (the reference steps
     an injected torch scheduler per epoch: dual_trainer.py:278,333-334) —
-    no retrace, the compiled step reads the lr from the optimizer state."""
+    no retrace, the compiled step reads the lr from the optimizer state.
+
+    ``packed`` (pipeline.packed_opt) wraps the transformation in
+    optax.flatten: the update runs on ONE raveled parameter vector instead
+    of ~1630 leaves, collapsing the per-leaf Adam graph that dominates the
+    flagship step HLO (one sqrt per leaf — measured ~80% of the module's
+    text) to a handful of flat-vector ops. Mathematically identical
+    (elementwise optimizer); the optimizer STATE becomes flat vectors, so
+    checkpoints written with packed_opt on/off are not interchangeable.
+    The injected-lr state path is unchanged (flatten preserves the inner
+    state type)."""
     lr = float(task.lr)
     wd = float(task.get("weight_decay", 0.0))
     base = partial(optax.adamw, weight_decay=wd) if wd > 0.0 else optax.adam
-    if task.get("scheduler", None):
-        return optax.inject_hyperparams(base)(learning_rate=lr)
-    return base(lr)
+    opt = (optax.inject_hyperparams(base)(learning_rate=lr)
+           if task.get("scheduler", None) else base(lr))
+    return optax.flatten(opt) if packed else opt
 
 
 def lr_at_epoch(task, epochs_completed: int) -> float:

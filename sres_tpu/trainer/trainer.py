@@ -93,7 +93,8 @@ class ModelTrainer:
         self.model = build_model(cfg().model, len(self.input_variables),
                                  len(self.target_variables), precision=precision,
                                  temporal_features=self.temporal_features)
-        self.optimizer = build_optimizer(cfg().task)
+        self.optimizer = build_optimizer(
+            cfg().task, packed=bool(cfg().pipeline.get("packed_opt", False)))
 
         tsz = cfg().task.tile_size
         sample_lr = jnp.zeros((1, tsz["y"], tsz["x"], len(self.input_variables)), jnp.float32)

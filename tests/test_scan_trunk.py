@@ -78,3 +78,38 @@ def test_scan_groups_fallback_quant():
     m0, m1, v, x = _pair("f32", quantization="int8_fused")
     np.testing.assert_array_equal(np.asarray(m0.apply(v, x)),
                                   np.asarray(m1.apply(v, x)))
+
+
+def test_packed_opt_bit_equal():
+    """pipeline.packed_opt (optax.flatten): Adam on one raveled vector is
+    mathematically identical to per-leaf Adam — 3 train steps produce
+    bit-equal params. Collapses the per-leaf optimizer graph that dominates
+    the flagship step HLO (trainer/step.py:build_optimizer)."""
+    import optax
+    from jax.sharding import Mesh
+    from sres_tpu.trainer.step import (StepConfig, build_train_step,
+                                       init_state)
+
+    sc = StepConfig(scale=4, downscale_factors=(2, 2), down_mode="bicubic",
+                    up_mode="bicubic", loss_fn="l2", data_downsample=1.0,
+                    target_idx=(0,), nchannels_in=1, has_bn=False)
+    mesh = Mesh(np.array(jax.devices()[:1]), ("data",))
+    m = build_model(dict(BASE, lane_pack=1), 1, 1, precision="f32")
+    hr = jnp.asarray(np.random.default_rng(0).normal(
+        size=(4, 1, 48, 48)), jnp.float32)
+    w = jnp.ones((4,), jnp.float32)
+    finals = []
+    for packed in (False, True):
+        opt = optax.adam(1e-4)
+        if packed:
+            opt = optax.flatten(opt)
+        st, _ = init_state(m, opt, jnp.zeros((1, 12, 12, 1), jnp.float32),
+                           seed=0)
+        step = build_train_step(m, opt, sc, mesh)
+        for _ in range(3):
+            st, _mt = step(st, hr, w)
+        finals.append(st.params)
+    for (k, a), (_, b) in zip(jax.tree_util.tree_leaves_with_path(finals[0]),
+                              jax.tree_util.tree_leaves_with_path(finals[1])):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b),
+                                      err_msg=jax.tree_util.keystr(k))
