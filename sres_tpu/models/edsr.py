@@ -28,6 +28,10 @@ class EDSR(nn.Module):
     # one pallas_call for the whole trunk, exact gradients); same gating
     # rules and unchanged param tree as RCAN's winograd mode
     winograd_bs: int = 0      # samples per kernel block; 0 = auto
+    scan_groups: bool = False  # lax.scan the identical trunk ResBlocks with
+    # stacked collect-mode params — same param tree, depth-invariant HLO
+    # (models/scan_trunk.py:scan_resblocks); direct path only, ignored
+    # under winograd/quantization
     dtype: Optional[Any] = None
 
     @nn.compact
@@ -77,7 +81,25 @@ class EDSR(nn.Module):
                                     wt, bt, wino, (h, w), wbs,
                                     float(self.res_scale))
             res = from_quad(r, spec).astype(skip.dtype)
+        elif self.scan_groups and not self.quantization:
+            import jax as _jax
+            from sres_tpu.models.scan_trunk import scan_resblocks
+            pairs = [ResBlock(self.nfeatures, self.kernel_size, self.use_bias,
+                              self.res_scale, dtype=d, pack=pk,
+                              name=f"ResBlock_{i}")(res, collect=True)
+                     for i in range(self.nlayers)]
+            sw, sb = (_jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *pairs))
+            res = scan_resblocks(res, sw, sb, float(self.res_scale), d)
+            res = Conv(self.nfeatures, self.kernel_size, use_bias=self.use_bias,
+                       dtype=d, pack=pk, name="Conv_1")(res)
+            res = res + skip
         else:
+            if self.scan_groups:
+                import logging
+                logging.getLogger("sres").info(
+                    "model.scan_groups requested but unsupported with "
+                    "quantization=%s — using the unrolled trunk (identical "
+                    "results)", self.quantization)
             for i in range(self.nlayers):
                 res = ResBlock(self.nfeatures, self.kernel_size, self.use_bias,
                                self.res_scale, dtype=d, pack=pk,
@@ -99,7 +121,8 @@ class EDSR(nn.Module):
 
 def build(model_cfg, nchannels_in: int, nchannels_out: int, dtype=None, temporal_features=None):
     p = resolve_parms(model_cfg, dict(lane_pack=1, quantization=None,
-                                      winograd=None, winograd_bs=0),
+                                      winograd=None, winograd_bs=0,
+                                      scan_groups=False),
                       nchannels_in=nchannels_in, nchannels_out=nchannels_out)
     return EDSR(
         nchannels_in=p["nchannels_in"], nchannels_out=p["nchannels_out"],
@@ -107,5 +130,6 @@ def build(model_cfg, nchannels_in: int, nchannels_out: int, dtype=None, temporal
         scale=p["scale"], res_scale=p["res_scale"], use_bias=p["bias"],
         lane_pack=int(p["lane_pack"]), quantization=p["quantization"],
         winograd=(int(p["winograd"]) if p["winograd"] else None),
-        winograd_bs=int(p["winograd_bs"]), dtype=dtype,
+        winograd_bs=int(p["winograd_bs"]),
+        scan_groups=bool(p["scan_groups"]), dtype=dtype,
     )

@@ -76,3 +76,19 @@ def scan_trunk(x: jnp.ndarray, groups: dict, dt: Optional[Any],
 
     body = jax.checkpoint(group_body) if remat else group_body
     return lax.scan(body, x, groups)[0]
+
+
+def scan_resblocks(x: jnp.ndarray, w: jnp.ndarray, b: jnp.ndarray,
+                   res_scale: float, dt: Optional[Any]) -> jnp.ndarray:
+    """EDSR trunk: scan over nlayers identical ResBlocks (conv-relu-conv
+    ×res_scale + skip — layers.ResBlock) with stacked collect-mode weights
+    w (nlayers, 2, k, k, Cp, Cp) / b (nlayers, 2, Cp). Same
+    param-tree-preserving contract as scan_trunk."""
+    dt = dt or x.dtype
+
+    def block_body(r, p):
+        t = jax.nn.relu(_conv(r, p[0][0], p[1][0], dt))
+        t = _conv(t, p[0][1], p[1][1], dt)
+        return r + t * res_scale, None
+
+    return lax.scan(block_body, x, (w, b))[0]

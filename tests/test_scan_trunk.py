@@ -113,3 +113,33 @@ def test_packed_opt_bit_equal():
                               jax.tree_util.tree_leaves_with_path(finals[1])):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b),
                                       err_msg=jax.tree_util.keystr(k))
+
+
+def test_scan_resblocks_edsr_parity():
+    """EDSR's scanned ResBlock trunk (models/scan_trunk.py:scan_resblocks)
+    matches the unrolled path: identical param tree, bit-equal bf16
+    forward, f32 grads to roundoff."""
+    ecfg = dict(name="edsr", nfeatures=8, nlayers=3, res_scale=0.5,
+                kernel_size=3, downscale_factors=[2, 2], loss_fn="l2",
+                lane_pack=2)
+    x = jnp.asarray(np.random.default_rng(1).normal(
+        size=(4, 8, 8, 1)), jnp.float32)
+    m0 = build_model(dict(ecfg), 1, 1, precision="bf16")
+    m1 = build_model(dict(ecfg, scan_groups=True), 1, 1, precision="bf16")
+    v = m0.init(jax.random.PRNGKey(0), x)
+    assert (jax.tree_util.tree_structure(v) ==
+            jax.tree_util.tree_structure(m1.init(jax.random.PRNGKey(0), x)))
+    np.testing.assert_array_equal(np.asarray(m0.apply(v, x)),
+                                  np.asarray(m1.apply(v, x)))
+
+    f0 = build_model(dict(ecfg), 1, 1, precision="f32")
+    f1 = build_model(dict(ecfg, scan_groups=True), 1, 1, precision="f32")
+    vf = f0.init(jax.random.PRNGKey(0), x)
+    g0 = jax.grad(lambda p: jnp.sum(f0.apply(p, x) ** 2))(vf)
+    g1 = jax.grad(lambda p: jnp.sum(f1.apply(p, x) ** 2))(vf)
+    for (k, a), (_, b) in zip(jax.tree_util.tree_leaves_with_path(g0),
+                              jax.tree_util.tree_leaves_with_path(g1)):
+        np.testing.assert_allclose(
+            np.asarray(b), np.asarray(a), rtol=0,
+            atol=5e-6 * (float(jnp.max(jnp.abs(a))) + 1e-30),
+            err_msg=jax.tree_util.keystr(k))
