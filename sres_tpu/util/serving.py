@@ -1,0 +1,92 @@
+"""AOT serving artifacts: jax.export'd forward functions.
+
+The reference deploys by shipping a torch checkpoint and re-instantiating
+the model in Python at load time (sres/model/manager.py:93-106). The
+TPU-native serving story adds an ahead-of-time option: serialize the
+jitted forward (params baked in, StableHLO body) to a self-describing
+artifact that a serving host can deserialize and call WITHOUT the model
+zoo, the config tree, or a checkpoint restore — and without paying the
+multi-minute first-compile at process start (only the backend's
+StableHLO->executable step remains, which hits XLA's compilation cache).
+
+Artifact layout (directory):
+  serving.jaxexp   — jax.export serialized bytes (versioned, stable format)
+  manifest.json    — model name/config, input spec, scale, dtype, creation
+                     metadata; everything a host needs to validate inputs.
+
+Batch handling: the artifact is exported over a SYMBOLIC batch dimension
+when the model's trace admits it (plain archs), else over the fixed batch
+sizes requested. RCAN/EDSR lane packing branches on the concrete batch
+(models/rcan.py pk downgrade), so the flagship exports at fixed sizes.
+"""
+from __future__ import annotations
+
+import json
+import os
+from typing import Any, Callable, Dict, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+
+
+def build_serve_fn(model, variables) -> Callable:
+    """Pure forward on LR tiles (NHWC f32) -> SR tiles; the bench --serve
+    contract."""
+
+    def fn(lr):
+        return model.apply(variables, lr, train=False)
+
+    return fn
+
+
+def export_serving(model, variables, lr_hw: tuple, nchannels: int,
+                   out_dir: str, batch_sizes: Sequence[int] = (1,),
+                   symbolic_batch: bool = False,
+                   manifest_extra: Optional[Dict[str, Any]] = None) -> dict:
+    """Serialize the forward to ``out_dir`` (one .jaxexp per batch size, or
+    one symbolic-batch artifact). Returns the manifest dict."""
+    os.makedirs(out_dir, exist_ok=True)
+    fn = jax.jit(build_serve_fn(model, variables))
+    h, w = lr_hw
+    entries = []
+    if symbolic_batch:
+        b, = jax.export.symbolic_shape("b")
+        spec = jax.ShapeDtypeStruct((b, h, w, nchannels), jnp.float32)
+        exp = jax.export.export(fn)(spec)
+        path = os.path.join(out_dir, "serving_bSYM.jaxexp")
+        with open(path, "wb") as f:
+            f.write(exp.serialize())
+        entries.append({"batch": "symbolic", "file": os.path.basename(path)})
+    else:
+        for bs in batch_sizes:
+            spec = jax.ShapeDtypeStruct((bs, h, w, nchannels), jnp.float32)
+            exp = jax.export.export(fn)(spec)
+            path = os.path.join(out_dir, f"serving_b{bs}.jaxexp")
+            with open(path, "wb") as f:
+                f.write(exp.serialize())
+            entries.append({"batch": bs, "file": os.path.basename(path)})
+    manifest = {
+        "format": "jax.export.v1",
+        "input": {"layout": "NHWC", "height": h, "width": w,
+                  "channels": nchannels, "dtype": "float32"},
+        "artifacts": entries,
+        "jax_version": jax.__version__,
+    }
+    manifest.update(manifest_extra or {})
+    with open(os.path.join(out_dir, "manifest.json"), "w") as f:
+        json.dump(manifest, f, indent=2)
+    return manifest
+
+
+def load_serving(out_dir: str, batch: Optional[int] = None) -> Callable:
+    """Deserialize a serving artifact; returns ``fn(lr) -> sr``. ``batch``
+    picks the fixed-batch artifact (defaults to the first listed; the
+    symbolic artifact accepts any batch)."""
+    with open(os.path.join(out_dir, "manifest.json")) as f:
+        manifest = json.load(f)
+    entries = manifest["artifacts"]
+    entry = entries[0] if batch is None else next(
+        e for e in entries if e["batch"] in (batch, "symbolic"))
+    with open(os.path.join(out_dir, entry["file"]), "rb") as f:
+        exp = jax.export.deserialize(f.read())
+    return lambda lr: exp.call(lr)

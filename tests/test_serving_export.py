@@ -1,0 +1,93 @@
+"""AOT serving artifacts (sres_tpu/util/serving.py): jax.export'd forwards
+round-trip through serialize/deserialize (f32 to one-ulp recompilation
+noise; symbolic-batch artifacts bit-exact here), the manifest
+describes the input contract, and the export CLI produces a servable
+artifact from a trained checkpoint. TPU-native addition over the
+reference's load-a-torch-checkpoint serving (sres/model/manager.py:93-106)."""
+import json
+import os
+import subprocess
+import sys
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from sres_tpu.models import build_model
+from sres_tpu.util.serving import export_serving, load_serving
+
+REPO = os.path.abspath(os.path.join(os.path.dirname(__file__), ".."))
+
+
+def _model(prec="f32"):
+    mcfg = dict(name="rcan", nfeatures=8, nlayers=1, nblocks=2, cbottleneck=2,
+                kernel_size=3, downscale_factors=[2, 2], loss_fn="l2",
+                lane_pack=2)
+    m = build_model(mcfg, 1, 1, precision=prec)
+    x = jnp.zeros((2, 12, 12, 1), jnp.float32)
+    v = m.init(jax.random.PRNGKey(0), x)
+    return m, v
+
+
+def test_export_roundtrip(tmp_path):
+    m, v = _model()
+    out = str(tmp_path / "art")
+    manifest = export_serving(m, v, (12, 12), 1, out, batch_sizes=[2, 4])
+    assert len(manifest["artifacts"]) == 2
+    assert manifest["input"] == {"layout": "NHWC", "height": 12, "width": 12,
+                                 "channels": 1, "dtype": "float32"}
+    lr = jnp.asarray(np.random.default_rng(0).normal(
+        size=(4, 12, 12, 1)), jnp.float32)
+    fn = load_serving(out, batch=4)
+    want = np.asarray(m.apply(v, lr, train=False))
+    # the deserialized module recompiles; XLA may pick a different conv
+    # algorithm -> one-ulp f32 noise (measured 1.8e-7 max abs)
+    np.testing.assert_allclose(np.asarray(fn(lr)), want, rtol=0, atol=1e-6)
+
+
+def test_export_symbolic_batch(tmp_path):
+    """Plain archs (no batch-dependent python branches) export once over a
+    symbolic batch dim and serve ANY batch size."""
+    mcfg = dict(name="vdsr", nfeatures=8, nlayers=3, kernel_size=3,
+                downscale_factors=[2, 2], loss_fn="l2")
+    m = build_model(mcfg, 1, 1, precision="f32")
+    x = jnp.zeros((2, 12, 12, 1), jnp.float32)
+    v = m.init(jax.random.PRNGKey(0), x)
+    out = str(tmp_path / "sym")
+    export_serving(m, v, (12, 12), 1, out, symbolic_batch=True)
+    fn = load_serving(out)
+    for bs in (1, 3, 5):
+        lr = jnp.asarray(np.random.default_rng(bs).normal(
+            size=(bs, 12, 12, 1)), jnp.float32)
+        np.testing.assert_allclose(np.asarray(fn(lr)),
+                                   np.asarray(m.apply(v, lr, train=False)),
+                                   rtol=0, atol=1e-6)
+
+
+def test_export_cli_from_checkpoint(tmp_path):
+    """Train 1 tiny epoch on the synthetic task, export via the CLI, serve
+    from the artifact — no model zoo needed at load time."""
+    root = str(tmp_path / "run")
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    common = ["--model", "rcan-10-10-64", "--task", "synthetic-tiles-48",
+              "--dataset", "synthetic", "--platform", "local"]
+    ovr = [f"platform.root={root}", "pipeline.device=cpu",
+           "model.nfeatures=8", "model.nlayers=1", "model.nblocks=1",
+           "model.lane_pack=1"]
+    r = subprocess.run(
+        [sys.executable, os.path.join(REPO, "scripts/train/train.py"),
+         *common, "--seed", "7", *ovr, "task.nepochs=1"],
+        env=env, capture_output=True, text=True, timeout=560, cwd=REPO)
+    assert r.returncode == 0, r.stderr[-2000:]
+    out = str(tmp_path / "art")
+    r = subprocess.run(
+        [sys.executable, os.path.join(REPO, "scripts/serve/export_serving.py"),
+         *common, "--out", out, "--batch", "2", "--seed", "7", *ovr],
+        env=env, capture_output=True, text=True, timeout=560, cwd=REPO)
+    assert r.returncode == 0, r.stderr[-2000:]
+    manifest = json.load(open(os.path.join(out, "manifest.json")))
+    assert manifest["checkpoint_epoch"] is not None
+    fn = load_serving(out, batch=2)
+    sr = fn(jnp.zeros((2, 48, 48, 1), jnp.float32))
+    assert sr.shape == (2, 192, 192, 1)
+    assert np.isfinite(np.asarray(sr)).all()
