@@ -28,10 +28,11 @@ def main() -> None:
     p.add_argument("--out", required=True)
     p.add_argument("--batch", type=str, default="1",
                    help="comma-separated fixed batch sizes, e.g. 72,144")
-    p.add_argument("--symbolic-batch", action="store_true", dest="symbolic",
-                   help="one artifact over a symbolic batch dim (plain "
-                        "archs; lane-packed trunks branch on the concrete "
-                        "batch and need fixed sizes)")
+    p.add_argument("--symbolic-batch", type=str, default=None,
+                   dest="symbolic", metavar="EXPR",
+                   help="one artifact over a symbolic batch dim: 'b' for "
+                        "plain archs (any batch), '2*b' for lane_pack=2 "
+                        "trunks (any even batch)")
     p.add_argument("--best", action="store_true",
                    help="restore the best-validation slot instead of latest")
     p.add_argument("--seed", type=int, default=4456)

@@ -15,9 +15,11 @@ Artifact layout (directory):
                      metadata; everything a host needs to validate inputs.
 
 Batch handling: the artifact is exported over a SYMBOLIC batch dimension
-when the model's trace admits it (plain archs), else over the fixed batch
-sizes requested. RCAN/EDSR lane packing branches on the concrete batch
-(models/rcan.py pk downgrade), so the flagship exports at fixed sizes.
+when the model's trace admits it, else over the fixed batch sizes
+requested. Lane-packed trunks (models/rcan.py) branch on batch
+divisibility, so they export with a constrained symbol — pass
+``symbolic_batch="2*b"`` for lane_pack=2 (any even batch) — while plain
+archs take ``"b"`` (any batch).
 """
 from __future__ import annotations
 
@@ -41,22 +43,25 @@ def build_serve_fn(model, variables) -> Callable:
 
 def export_serving(model, variables, lr_hw: tuple, nchannels: int,
                    out_dir: str, batch_sizes: Sequence[int] = (1,),
-                   symbolic_batch: bool = False,
+                   symbolic_batch: Optional[str] = None,
                    manifest_extra: Optional[Dict[str, Any]] = None) -> dict:
     """Serialize the forward to ``out_dir`` (one .jaxexp per batch size, or
-    one symbolic-batch artifact). Returns the manifest dict."""
+    one symbolic-batch artifact; ``symbolic_batch`` is a jax symbolic dim
+    expression — "b" for any batch, "2*b" for lane_pack=2 trunks).
+    Returns the manifest dict."""
     os.makedirs(out_dir, exist_ok=True)
     fn = jax.jit(build_serve_fn(model, variables))
     h, w = lr_hw
     entries = []
     if symbolic_batch:
-        b, = jax.export.symbolic_shape("b")
+        b, = jax.export.symbolic_shape(symbolic_batch)
         spec = jax.ShapeDtypeStruct((b, h, w, nchannels), jnp.float32)
         exp = jax.export.export(fn)(spec)
         path = os.path.join(out_dir, "serving_bSYM.jaxexp")
         with open(path, "wb") as f:
             f.write(exp.serialize())
-        entries.append({"batch": "symbolic", "file": os.path.basename(path)})
+        entries.append({"batch": "symbolic", "shape": symbolic_batch,
+                        "file": os.path.basename(path)})
     else:
         for bs in batch_sizes:
             spec = jax.ShapeDtypeStruct((bs, h, w, nchannels), jnp.float32)

@@ -54,7 +54,7 @@ def test_export_symbolic_batch(tmp_path):
     x = jnp.zeros((2, 12, 12, 1), jnp.float32)
     v = m.init(jax.random.PRNGKey(0), x)
     out = str(tmp_path / "sym")
-    export_serving(m, v, (12, 12), 1, out, symbolic_batch=True)
+    export_serving(m, v, (12, 12), 1, out, symbolic_batch="b")
     fn = load_serving(out)
     for bs in (1, 3, 5):
         lr = jnp.asarray(np.random.default_rng(bs).normal(
@@ -91,3 +91,38 @@ def test_export_cli_from_checkpoint(tmp_path):
     sr = fn(jnp.zeros((2, 48, 48, 1), jnp.float32))
     assert sr.shape == (2, 192, 192, 1)
     assert np.isfinite(np.asarray(sr)).all()
+
+
+def test_export_symbolic_lane_packed(tmp_path):
+    """The lane-packed flagship trunk exports over a CONSTRAINED symbolic
+    batch ('2*b' — any even batch) despite its pack/pad branches on batch
+    divisibility."""
+    m, v = _model()
+    out = str(tmp_path / "sym2b")
+    export_serving(m, v, (12, 12), 1, out, symbolic_batch="2*b")
+    fn = load_serving(out)
+    for bs in (2, 6):
+        lr = jnp.asarray(np.random.default_rng(bs).normal(
+            size=(bs, 12, 12, 1)), jnp.float32)
+        np.testing.assert_allclose(np.asarray(fn(lr)),
+                                   np.asarray(m.apply(v, lr, train=False)),
+                                   rtol=0, atol=1e-6)
+
+
+def test_export_int8_serving(tmp_path):
+    """The int8 (AQT) serving path — the measured 1300 t/s fast path —
+    exports and round-trips like any other forward."""
+    mcfg = dict(name="rcan", nfeatures=8, nlayers=1, nblocks=1,
+                cbottleneck=2, kernel_size=3, downscale_factors=[2, 2],
+                loss_fn="l2", lane_pack=2, quantization="int8")
+    m = build_model(mcfg, 1, 1, precision="f32")
+    x = jnp.zeros((2, 12, 12, 1), jnp.float32)
+    v = m.init(jax.random.PRNGKey(0), x)
+    out = str(tmp_path / "int8")
+    export_serving(m, v, (12, 12), 1, out, batch_sizes=[2])
+    fn = load_serving(out, batch=2)
+    lr = jnp.asarray(np.random.default_rng(0).normal(
+        size=(2, 12, 12, 1)), jnp.float32)
+    np.testing.assert_allclose(np.asarray(fn(lr)),
+                               np.asarray(m.apply(v, lr, train=False)),
+                               rtol=0, atol=1e-6)
