@@ -83,6 +83,77 @@ def export_serving(model, variables, lr_hw: tuple, nchannels: int,
     return manifest
 
 
+def export_region_serving(model, variables, region_shape: tuple, mesh,
+                          out_dir: str,
+                          manifest_extra: Optional[Dict[str, Any]] = None
+                          ) -> dict:
+    """Multi-chip serving artifact: the whole-model H-sharded region
+    inference (parallel/spatial.py:infer_region_sharded — GSPMD halo
+    exchanges + CA all-reduces over ICI) exported over ``mesh``. The
+    artifact records the device count and shardings; the serving pod
+    deserializes it and calls with a (B, H, W, C) region sharded
+    P(None, axis, None, None) over an identical mesh."""
+    import numpy as _np
+    from jax import lax
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    axis = mesh.axis_names[0]
+    n = mesh.shape[axis]
+    assert region_shape[1] % n == 0, (region_shape, n)
+    sharding = NamedSharding(mesh, P(None, axis, None, None))
+
+    @jax.jit
+    def fn(xin):
+        y = model.apply(variables, xin, train=False)
+        return lax.with_sharding_constraint(y, sharding)
+
+    os.makedirs(out_dir, exist_ok=True)
+    spec = jax.ShapeDtypeStruct(tuple(region_shape), jnp.float32)
+    exp = jax.export.export(jax.jit(fn, in_shardings=sharding,
+                                    out_shardings=sharding))(spec)
+    path = os.path.join(out_dir, f"region_{n}dev.jaxexp")
+    with open(path, "wb") as f:
+        f.write(exp.serialize())
+    manifest = {
+        "format": "jax.export.v1",
+        "kind": "region_sharded",
+        "input": {"layout": "NHWC", "shape": list(region_shape),
+                  "dtype": "float32",
+                  "sharding": f"P(None, '{axis}', None, None)"},
+        "mesh": {"axis": axis, "devices": int(n)},
+        "artifacts": [{"file": os.path.basename(path)}],
+        "jax_version": jax.__version__,
+    }
+    manifest.update(manifest_extra or {})
+    with open(os.path.join(out_dir, "manifest.json"), "w") as f:
+        json.dump(manifest, f, indent=2)
+    return manifest
+
+
+def load_region_serving(out_dir: str, mesh) -> Callable:
+    """Deserialize a region_sharded artifact; returns ``fn(region)`` where
+    region must be placed P(None, axis, None, None) over ``mesh`` (same
+    device count as at export)."""
+    with open(os.path.join(out_dir, "manifest.json")) as f:
+        manifest = json.load(f)
+    assert manifest.get("kind") == "region_sharded", manifest.get("kind")
+    want_n = manifest["mesh"]["devices"]
+    have_n = int(np_prod(mesh.devices.shape))
+    assert have_n == want_n, (
+        f"artifact exported for {want_n} devices, mesh has {have_n}")
+    with open(os.path.join(out_dir, manifest["artifacts"][0]["file"]),
+              "rb") as f:
+        exp = jax.export.deserialize(f.read())
+    return jax.jit(exp.call)
+
+
+def np_prod(shape) -> int:
+    out = 1
+    for s in shape:
+        out *= int(s)
+    return out
+
+
 def load_serving(out_dir: str, batch: Optional[int] = None) -> Callable:
     """Deserialize a serving artifact; returns ``fn(lr) -> sr``. ``batch``
     picks the fixed-batch artifact (defaults to the first listed; the
