@@ -155,3 +155,42 @@ def test_export_region_sharded_multichip(tmp_path):
     sh = NamedSharding(mesh, P(None, "spatial", None, None))
     got = np.asarray(fn(jax.device_put(region, sh)))
     np.testing.assert_array_equal(got, want)
+
+
+import pytest
+import yaml
+from pathlib import Path
+
+_CONFIG_DIR = Path(__file__).resolve().parent.parent / "config" / "model"
+_ZOO = ["rcan-10-10-64", "edsr", "vdsr", "latticenet", "dbpn", "srdn",
+        "unet", "lapsrn", "mscnn", "esrt"]
+
+
+@pytest.mark.parametrize("cfg_name", _ZOO)
+def test_export_zoo_coverage(cfg_name, tmp_path):
+    """Every zoo architecture exports to a serving artifact and the
+    deserialized module matches the live apply (multiscale pyramids
+    round-trip as pytrees)."""
+    mcfg = yaml.safe_load((_CONFIG_DIR / f"{cfg_name}.yaml").read_text())
+    if mcfg["name"] in ("rcan",):
+        mcfg.update(nlayers=1, nblocks=2)
+    if mcfg["name"] in ("edsr", "srdn", "unet", "mscnn"):
+        mcfg.update(nlayers=2)
+    if mcfg["name"] == "dbpn":
+        mcfg.update(depth=2)
+    size = 24 if mcfg["name"] != "esrt" else 16
+    m = build_model(mcfg, 1, 1, precision="f32")
+    x = jnp.zeros((2, size, size, 1), jnp.float32)
+    v = m.init(jax.random.PRNGKey(0), x, train=False)
+    out = str(tmp_path / cfg_name)
+    export_serving(m, v, (size, size), 1, out, batch_sizes=[2])
+    fn = load_serving(out, batch=2)
+    lr = jnp.asarray(np.random.default_rng(1).normal(
+        size=(2, size, size, 1)), jnp.float32)
+    got, want = fn(lr), m.apply(v, lr, train=False)
+    got = got if isinstance(got, (tuple, list)) else [got]
+    want = want if isinstance(want, (tuple, list)) else [want]
+    for g, w in zip(got, want):
+        np.testing.assert_allclose(np.asarray(g), np.asarray(w),
+                                   rtol=0, atol=2e-6 *
+                                   max(1.0, float(jnp.max(jnp.abs(w)))))
