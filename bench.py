@@ -119,6 +119,13 @@ def main() -> None:
                    help="K>0: run K optimizer steps per device dispatch "
                         "(lax.scan over K staged batches) — amortizes "
                         "host-dispatch latency; steps must divide by K")
+    p.add_argument("--dispatch", choices=["aot", "jit"], default="aot",
+                   help="'aot' (round-3 default): lower->compile once and "
+                        "dispatch the compiled executable (also yields "
+                        "hbm_model_gb via memory_analysis). 'jit': plain "
+                        "jit dispatch, as benched in rounds 1-2 — the "
+                        "round-3 316->277 t/s regression bisect "
+                        "(VERDICT r3 weak #1) runs both back-to-back.")
     args = p.parse_args()
     if args.int8 and not (args.eval or args.serve):
         p.error("--int8 (AQT) is serving-only — its conv blocks gradients "
@@ -215,10 +222,11 @@ def main() -> None:
         fwd = jax.jit(lambda v, x: model.apply(v, x, train=False),
                       in_shardings=(replicated(mesh), batch_sharding(mesh)),
                       out_shardings=batch_sharding(mesh))
-        try:
-            fwd, hbm_model_gb = _aot(fwd, variables, hrs[0])
-        except Exception:
-            pass
+        if args.dispatch == "aot":
+            try:
+                fwd, hbm_model_gb = _aot(fwd, variables, hrs[0])
+            except Exception:
+                pass
 
         def train_step(state, hr, w):
             # hr here is the LR NHWC batch (see input staging above)
@@ -227,20 +235,22 @@ def main() -> None:
             return state, {"mloss": out.ravel()[0]}
     elif args.eval:
         eval_step = build_eval_step(model, sc, mesh)
-        try:
-            eval_step, hbm_model_gb = _aot(eval_step, state, hrs[0], weight)
-        except Exception:
-            pass
+        if args.dispatch == "aot":
+            try:
+                eval_step, hbm_model_gb = _aot(eval_step, state, hrs[0], weight)
+            except Exception:
+                pass
         train_step = lambda state, hr, w: (state, eval_step(state, hr, w)[0])
     elif scan > 0:
         assert args.steps % scan == 0, "--steps must be a multiple of --scan"
         train_step = build_multi_train_step(model, optimizer, sc, mesh)
     else:
         train_step = build_train_step(model, optimizer, sc, mesh)
-        try:
-            train_step, hbm_model_gb = _aot(train_step, state, hrs[0], weight)
-        except Exception:
-            pass
+        if args.dispatch == "aot":
+            try:
+                train_step, hbm_model_gb = _aot(train_step, state, hrs[0], weight)
+            except Exception:
+                pass
 
     # warmup with one retry — the tunneled remote compiler occasionally
     # returns a transient HTTP 500
@@ -296,7 +306,7 @@ def main() -> None:
                                          else A100_BASELINE_TILES_PER_SEC), 3),
         "detail": {
             "devices": ndev, "batch": batch, "steps": args.steps,
-            "precision": precision, "lane_pack": args.lane_pack, "fused": args.fused, "scan": scan, "int8": args.int8, "int8_fused": args.int8_fused, "int8_full": args.int8_full, "winograd": args.winograd, "scan_groups": args.scan_groups, "packed_opt": args.packed_opt, "step_ms": round(1000 * dt / args.steps, 2),
+            "precision": precision, "lane_pack": args.lane_pack, "fused": args.fused, "scan": scan, "int8": args.int8, "int8_fused": args.int8_fused, "int8_full": args.int8_full, "winograd": args.winograd, "scan_groups": args.scan_groups, "packed_opt": args.packed_opt, "dispatch": args.dispatch, "step_ms": round(1000 * dt / args.steps, 2),
             "loss": loss_val, "mfu": round(mfu, 4),
             "hbm_peak_gb": _hbm_peak_gb(jax),
             # compile-time footprint (args+temp+out-aliased) of the step
