@@ -24,6 +24,33 @@ Dtype = Any
 # which is variance_scaling(1/3, fan_in, uniform).
 torch_kernel_init = jax.nn.initializers.variance_scaling(1.0 / 3.0, "fan_in", "uniform")
 
+# --- padding-aware BatchNorm batch statistics -------------------------------
+# Static batch shapes under jit force the trainer to pad ragged batches with
+# zero-weight samples (e.g. batch 4 sharded over 8 devices). The reference
+# runs eager with dynamic shapes, so its BN train-mode batch statistics see
+# only real samples — computing ours over the padded batch silently shifts
+# every normalization (discovered by the unet full-stack trajectory A/B,
+# round-4; reference: sres/model/common/unet.py:14-16 BatchNorm2d). The
+# trainer scopes the per-sample weight vector here around model.apply; the
+# weighted statistics are bitwise-identical to the plain path when every
+# weight is 1 (multiply-by-1.0 and add-0.0 are exact in f32).
+_BN_SAMPLE_WEIGHT: list = [None]
+
+
+class bn_sample_weight:
+    """Context manager scoping a (B,) 0/1 sample-weight vector over a
+    model.apply so train-mode BatchNorm statistics skip padding samples.
+    Trace-local: hold only within the jitted step that created the array."""
+
+    def __init__(self, w):
+        self.w = w
+
+    def __enter__(self):
+        _BN_SAMPLE_WEIGHT.append(self.w)
+
+    def __exit__(self, *exc):
+        _BN_SAMPLE_WEIGHT.pop()
+
 _AQT_CONV = None
 
 
@@ -275,14 +302,32 @@ class _TorchBNCore(nn.Module):
         else:
             xf = x.astype(jnp.float32)
             axes = tuple(range(x.ndim - 1))
-            mean = jnp.mean(xf, axes)
-            var = jnp.mean(jnp.square(xf - mean), axes)
-            if not self.is_initializing():
-                m = self.torch_momentum
+            w = _BN_SAMPLE_WEIGHT[-1]
+            if w is None:
+                mean = jnp.mean(xf, axes)
+                var = jnp.mean(jnp.square(xf - mean), axes)
                 n = x.size // feat
                 bessel = n / max(n - 1, 1)
-                ra_mean.value = (1.0 - m) * ra_mean.value + m * mean
-                ra_var.value = (1.0 - m) * ra_var.value + m * var * bessel
+            else:
+                # padding-aware statistics: zero-weight samples contribute
+                # exact zeros to both sums; n counts only real elements
+                wf = w.astype(jnp.float32).reshape((-1,) + (1,) * (x.ndim - 1))
+                per_sample = x.size // (feat * x.shape[0])
+                n = jnp.sum(wf) * per_sample
+                nsafe = jnp.maximum(n, 1.0)  # all-padding batch: no NaNs
+                mean = jnp.sum(xf * wf, axes) / nsafe
+                var = jnp.sum(jnp.square(xf - mean) * wf, axes) / nsafe
+                bessel = nsafe / jnp.maximum(nsafe - 1.0, 1.0)
+            if not self.is_initializing():
+                m = self.torch_momentum
+                if w is None:
+                    keep = 1.0
+                else:  # all-padding batch: leave the running stats untouched
+                    keep = jnp.where(n > 0, 1.0, 0.0)
+                ra_mean.value = ((1.0 - m * keep) * ra_mean.value
+                                 + m * keep * mean)
+                ra_var.value = ((1.0 - m * keep) * ra_var.value
+                                + m * keep * var * bessel)
         y = (x.astype(jnp.float32) - mean) * jax.lax.rsqrt(var + self.epsilon)
         y = y * scale + bias
         return y.astype(self.dtype or x.dtype)

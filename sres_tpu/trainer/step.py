@@ -77,14 +77,19 @@ def prepare_inputs(hr_nchw: jnp.ndarray, sc: StepConfig) -> Tuple[jnp.ndarray, j
 
 
 def _apply(model, params, batch_stats, lr, train: bool, sc: StepConfig,
-           temporal=None, smap_mesh: Optional[Mesh] = None):
+           temporal=None, smap_mesh: Optional[Mesh] = None, weight=None):
     variables = {"params": params}
     kw = {"temporal": temporal} if sc.ntemporal > 0 else {}
     if sc.has_bn:
         variables["batch_stats"] = batch_stats
         if train:
-            out, mut = model.apply(variables, lr, train=True,
-                                   mutable=["batch_stats"], **kw)
+            # padding-aware BN batch statistics: ragged batches are padded
+            # with zero-weight samples for the static jit shapes — scope the
+            # weights so train-mode BatchNorm skips them (models/layers.py)
+            from sres_tpu.models.layers import bn_sample_weight
+            with bn_sample_weight(weight):
+                out, mut = model.apply(variables, lr, train=True,
+                                       mutable=["batch_stats"], **kw)
             return out, mut["batch_stats"]
         return model.apply(variables, lr, train=False, **kw), batch_stats
     if smap_mesh is not None:
@@ -147,7 +152,7 @@ def _train_step_core(model, optimizer: optax.GradientTransformation,
 
         def loss_fn(params):
             out, new_bs = _apply(model, params, state.batch_stats, lr, True, sc,
-                                 temporal, smap_mesh)
+                                 temporal, smap_mesh, weight=weight)
             sloss, mloss = _losses(out, target, weight, sc)
             return mloss, (sloss, new_bs)
 
@@ -264,7 +269,7 @@ def build_accum_train_step(model, optimizer: optax.GradientTransformation,
 
             def loss_fn(params):
                 out, new_bs = _apply(model, params, bs, lr, True, sc, temporal,
-                                     _smap_mesh(mesh, sc, smap))
+                                     _smap_mesh(mesh, sc, smap), weight=weight)
                 sloss, mloss = _losses(out, target, weight, sc)
                 return mloss, (sloss, new_bs)
 

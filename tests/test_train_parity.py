@@ -246,3 +246,56 @@ def test_adam_step_parity_bn_archs(arch):
     np.testing.assert_allclose(
         np.asarray(ours_eval).transpose(0, 3, 1, 2), ref_eval.numpy(),
         rtol=ftol, atol=ftol)
+
+
+@requires_reference
+def test_bn_padded_batch_stats_parity():
+    """Padding-aware BatchNorm statistics (models/layers.py bn_sample_weight,
+    round 4): a batch padded with zero-weight samples — which the trainer
+    must produce for static jit shapes whenever batch % n_devices != 0 —
+    normalizes, outputs, and updates running stats EXACTLY like torch seeing
+    only the valid samples (reference BN: sres/model/common/unet.py:14-16;
+    the reference runs eager with dynamic shapes and never pads)."""
+    import torch
+    from sres_tpu.models.layers import bn_sample_weight
+
+    mcfg = BN_CFGS["unet"]
+    tmodel = get_ref_model("unet", mcfg, 1, 1, temporal_features=None).train()
+    tstate0 = {k: v.detach().numpy().copy() for k, v in tmodel.state_dict().items()}
+    variables = import_variables("unet", tstate0, mcfg)
+    model = build_model(mcfg, 1, 1, precision="f32")
+
+    x = np.random.default_rng(5).normal(size=(3, 1, 12, 12)).astype(np.float32)
+    with torch.no_grad():
+        yt = tmodel(torch.tensor(x)).numpy()
+    tstate = {k: v.detach().numpy() for k, v in tmodel.state_dict().items()}
+    ref_after = import_variables("unet", tstate, mcfg)
+
+    # ours: 3 valid + 5 zero-padding samples, weights mark the padding
+    xp = np.concatenate([x, np.zeros((5,) + x.shape[1:], np.float32)], 0)
+    w = jnp.asarray([1.0] * 3 + [0.0] * 5, jnp.float32)
+    with bn_sample_weight(w):
+        yo, mut = model.apply(variables, jnp.asarray(xp.transpose(0, 2, 3, 1)),
+                              train=True, mutable=["batch_stats"])
+    np.testing.assert_allclose(np.asarray(yo)[:3].transpose(0, 3, 1, 2), yt,
+                               rtol=1e-5, atol=1e-5)
+    for (pa, a), (pb, b) in zip(
+            sorted(jax.tree_util.tree_flatten_with_path(mut["batch_stats"])[0],
+                   key=lambda kv: str(kv[0])),
+            sorted(jax.tree_util.tree_flatten_with_path(
+                ref_after["batch_stats"])[0], key=lambda kv: str(kv[0]))):
+        assert str(pa) == str(pb)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-6, err_msg=f"stats {pa}")
+
+    # all-padding batch (the grad-accum ragged-tail case: zero inputs, zero
+    # weights): finite outputs, running stats untouched
+    w0 = jnp.zeros((8,), jnp.float32)
+    with bn_sample_weight(w0):
+        y0, mut0 = model.apply(variables,
+                               jnp.zeros((8, 12, 12, 1), jnp.float32),
+                               train=True, mutable=["batch_stats"])
+    assert np.isfinite(np.asarray(y0)).all()
+    for a, b in zip(jax.tree_util.tree_leaves(mut0["batch_stats"]),
+                    jax.tree_util.tree_leaves(variables["batch_stats"])):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
