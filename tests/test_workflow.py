@@ -307,3 +307,16 @@ def test_validate_reference_parity_dry_run():
     assert tr["final_rel_loss_delta"] == 0.0
     assert tr["epochs_compared"] >= 1
     assert "valid" in rep["tsets"]
+    # round-4 (verdict item #7): the dry run also exercises the inference
+    # NetCDF diff (tiles + assembled image, NaN-aware) and the scaling-sweep
+    # comparison, all self-diffed to zero
+    inf = rep["inference"]
+    assert inf["pass"] is True and inf["files_compared"] == 2
+    assert any(k.endswith(".image.nc") for k in inf["files"])
+    assert any(k.endswith(".tiles.nc") for k in inf["files"])
+    tiles = next(v for k, v in inf["files"].items() if k.endswith(".tiles.nc"))
+    assert tiles["vars"]["model"]["rel_rms_delta"] == 0.0
+    assert tiles["psnr_delta_db"] == 0.0
+    sweep = rep["sweep"]
+    assert sweep["pass"] is True and len(sweep["deltas"]) == 2
+    assert all(v == 0.0 for v in sweep["deltas"].values())
