@@ -208,11 +208,9 @@ def main() -> None:
     hbm_model_gb = -1.0
 
     def _aot(fn, *sample):
+        from sres_tpu.util.hbm import compiled_hbm_gb
         c = fn.lower(*sample).compile()
-        ma = c.memory_analysis()
-        tot = (ma.argument_size_in_bytes + ma.output_size_in_bytes
-               + ma.temp_size_in_bytes - ma.alias_size_in_bytes)
-        return c, round(tot / 1e9, 3)
+        return c, compiled_hbm_gb(c)
 
     if args.serve:
         from sres_tpu.parallel.mesh import batch_sharding, replicated

@@ -22,3 +22,43 @@ def test_bench_prints_one_json_line():
     for key in ("metric", "value", "unit", "vs_baseline"):
         assert key in blob
     assert blob["value"] > 0
+
+
+def test_hbm_audit_machinery_and_budget_guard():
+    """scripts/bench/hbm_audit.py (round-3 verdict item #5): per-mode AOT
+    memory_analysis footprints with budget enforcement. --tiny exercises the
+    full mode matrix fast on CPU; an artificially small budget must RED-LINE
+    the over-budget modes (exit 1, over_budget recorded)."""
+    env = dict(os.environ)
+    env["PYTHONPATH"] = "/root/repo"
+    r = subprocess.run(
+        [sys.executable, "/root/repo/scripts/bench/hbm_audit.py",
+         "--cpu", "--tiny"],
+        capture_output=True, text=True, timeout=540, env=env)
+    assert r.returncode == 0, r.stdout + r.stderr[-2000:]
+    rep = json.loads(r.stdout.strip().splitlines()[-1])
+    assert rep["pass"] is True
+    assert set(rep["modes"]) == {"train", "winograd", "winograd_stash",
+                                 "int8_fused", "scan_packed", "eval", "serve"}
+    for mode, e in rep["modes"].items():
+        assert e.get("hbm_model_gb", -1) > 0, (mode, e)
+        assert e.get("headroom_gb", -1) > 0, (mode, e)
+
+    # red-line: a 0.03 GB budget is below every train mode's footprint
+    r = subprocess.run(
+        [sys.executable, "/root/repo/scripts/bench/hbm_audit.py",
+         "--cpu", "--tiny", "--modes", "train", "--budget-gb", "0.03"],
+        capture_output=True, text=True, timeout=540, env=env)
+    assert r.returncode == 1
+    rep = json.loads(r.stdout.strip().splitlines()[-1])
+    assert rep["pass"] is False
+    assert "over_budget" in rep["modes"]["train"]
+
+
+def test_hbm_assert_fits_unit():
+    import pytest
+    from sres_tpu.util.hbm import HBMBudgetError, assert_fits
+
+    assert assert_fits(15.0, "x") == 0.75
+    with pytest.raises(HBMBudgetError, match="15.9"):
+        assert_fits(15.9, "flagship b72")
