@@ -1,0 +1,72 @@
+"""On-chip serving-export check for the Pallas-backed graphs (round-3
+verdict weak #5): jax.export of the REAL tpu_custom_call lowering — the CPU
+tests cover interpret mode only. Exports the winograd-chain eval path, a
+scan_groups trunk, and the window-attention forward on the TPU backend,
+round-trips each through serialize/deserialize, and compares against live
+apply. Prints one OK/FAIL line per graph."""
+from __future__ import annotations
+
+import os
+import sys
+import tempfile
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                "..", ".."))
+
+
+def main() -> None:
+    import jax
+    if "--cpu" in sys.argv or os.environ.get("SRES_FORCE_CPU") == "1":
+        # the axon sitecustomize overrides JAX_PLATFORMS (CLAUDE.md)
+        jax.config.update("jax_platforms", "cpu")
+    import jax.numpy as jnp
+    import numpy as np
+
+    from sres_tpu.models import build_model
+    from sres_tpu.util.serving import export_serving, load_serving
+
+    cases = {
+        "winograd-chain": dict(name="rcan", nfeatures=64, nlayers=1,
+                               nblocks=2, cbottleneck=2, kernel_size=3,
+                               downscale_factors=[2, 2], loss_fn="l2",
+                               lane_pack=2, winograd=2),
+        "scan-groups": dict(name="rcan", nfeatures=8, nlayers=2, nblocks=2,
+                            cbottleneck=2, kernel_size=3,
+                            downscale_factors=[2, 2], loss_fn="l2",
+                            lane_pack=2, scan_groups=True),
+    }
+    import yaml
+    swin = yaml.safe_load(open(os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "..", "..",
+        "config", "model", "swinir.yaml")))
+    swin.update(nlayers=2, nblocks=2, nfeatures=16)
+    cases["window-attention"] = swin
+    failures = 0
+    for label, mcfg in cases.items():
+        try:
+            size = 16
+            m = build_model(dict(mcfg), 1, 1, precision="f32")
+            x = jnp.zeros((2, size, size, 1), jnp.float32)
+            v = m.init(jax.random.PRNGKey(0), x, train=False)
+            out = tempfile.mkdtemp(prefix=f"tpu_export_{label}_")
+            export_serving(m, v, (size, size), 1, out, batch_sizes=[2])
+            fn = load_serving(out, batch=2)
+            lr = jnp.asarray(np.random.default_rng(0).normal(
+                size=(2, size, size, 1)), jnp.float32)
+            got = np.asarray(fn(lr))
+            want = np.asarray(m.apply(v, lr, train=False))
+            err = float(np.max(np.abs(got - want)))
+            scale = float(np.max(np.abs(want))) or 1.0
+            ok = err <= 1e-4 * scale
+            print(f"{label}: {'OK' if ok else 'FAIL'} maxerr={err:.3e} "
+                  f"scale={scale:.3f}", flush=True)
+            failures += 0 if ok else 1
+        except Exception as e:
+            print(f"{label}: FAIL {type(e).__name__}: {str(e)[:300]}",
+                  flush=True)
+            failures += 1
+    sys.exit(1 if failures else 0)
+
+
+if __name__ == "__main__":
+    main()
