@@ -27,6 +27,8 @@ run() {
 }
 
 run 3600 "python -u bench.py --scan 5 --steps 30 --dispatch jit"
+run 3600 "python -u bench.py --eval --dispatch jit"
+run 3600 "python -u bench.py --serve --dispatch jit"
 run 6000 "python scripts/bench/hbm_audit.py"
 run 3600 "python -u scripts/bench/export_tpu_check.py"
 
