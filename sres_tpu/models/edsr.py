@@ -32,6 +32,10 @@ class EDSR(nn.Module):
     # stacked collect-mode params — same param tree, depth-invariant HLO
     # (models/scan_trunk.py:scan_resblocks); direct path only, ignored
     # under winograd/quantization
+    remat_trunk: Optional[bool] = None  # checkpoint each scanned ResBlock
+    # body. None = ON under scan_groups (same rationale as RCAN: scan-with-
+    # grad stacks every body intermediate over nlayers; remat keeps only the
+    # stacked block inputs). Ignored on the unrolled path.
     dtype: Optional[Any] = None
 
     @nn.compact
@@ -89,7 +93,10 @@ class EDSR(nn.Module):
                               name=f"ResBlock_{i}")(res, collect=True)
                      for i in range(self.nlayers)]
             sw, sb = (_jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *pairs))
-            res = scan_resblocks(res, sw, sb, float(self.res_scale), d)
+            scan_remat = (True if self.remat_trunk is None
+                          else bool(self.remat_trunk))
+            res = scan_resblocks(res, sw, sb, float(self.res_scale), d,
+                                 remat=scan_remat)
             res = Conv(self.nfeatures, self.kernel_size, use_bias=self.use_bias,
                        dtype=d, pack=pk, name="Conv_1")(res)
             res = res + skip
@@ -122,7 +129,7 @@ class EDSR(nn.Module):
 def build(model_cfg, nchannels_in: int, nchannels_out: int, dtype=None, temporal_features=None):
     p = resolve_parms(model_cfg, dict(lane_pack=1, quantization=None,
                                       winograd=None, winograd_bs=0,
-                                      scan_groups=False),
+                                      scan_groups=False, remat_trunk=None),
                       nchannels_in=nchannels_in, nchannels_out=nchannels_out)
     return EDSR(
         nchannels_in=p["nchannels_in"], nchannels_out=p["nchannels_out"],
@@ -131,5 +138,6 @@ def build(model_cfg, nchannels_in: int, nchannels_out: int, dtype=None, temporal
         lane_pack=int(p["lane_pack"]), quantization=p["quantization"],
         winograd=(int(p["winograd"]) if p["winograd"] else None),
         winograd_bs=int(p["winograd_bs"]),
-        scan_groups=bool(p["scan_groups"]), dtype=dtype,
+        scan_groups=bool(p["scan_groups"]), remat_trunk=p["remat_trunk"],
+        dtype=dtype,
     )

@@ -50,8 +50,12 @@ class RCAN(nn.Module):
     remat_trunk: Optional[bool] = None  # checkpoint each residual group.
     # None = auto: ON for int8_full (its custom VJP stashes per-conv int8
     # activations — ~9 GB at batch 144 without remat, which blows HBM and
-    # measured 297 t/s; group remat keeps only per-group inputs), OFF
-    # otherwise (int8_fused uses native autodiff, XLA remats freely).
+    # measured 297 t/s; group remat keeps only per-group inputs) and ON for
+    # scan_groups (scan-with-grad stacks EVERY body intermediate on the
+    # (nlayers, nblocks) axes — measured on-chip: 19.4 GB at batch 72,
+    # OOM on a 16 GB v5e; group remat saves only the 10 stacked group
+    # inputs ≈ 0.4 GB and recomputes inside the backward), OFF otherwise
+    # (int8_fused uses native autodiff, XLA remats freely).
     dtype: Optional[Any] = None
 
     @nn.compact
@@ -122,7 +126,12 @@ class RCAN(nn.Module):
                                      res, collect=True)
                    for i in range(self.nlayers)]
             stacked = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *gps)
-            res = scan_trunk(res, stacked, d, remat=remat)
+            # remat defaults ON here (see remat_trunk): without it the scan
+            # saves every body intermediate stacked over (nlayers, nblocks)
+            # — measured 19.4 GB at batch 72, an on-chip OOM.
+            scan_remat = (True if self.remat_trunk is None
+                          else bool(self.remat_trunk))
+            res = scan_trunk(res, stacked, d, remat=scan_remat)
             res = Conv(self.nfeatures, self.kernel_size, use_bias=self.use_bias,
                        dtype=d, pack=pk, name="Conv_1")(res)
             res = res + skip

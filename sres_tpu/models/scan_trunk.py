@@ -79,11 +79,15 @@ def scan_trunk(x: jnp.ndarray, groups: dict, dt: Optional[Any],
 
 
 def scan_resblocks(x: jnp.ndarray, w: jnp.ndarray, b: jnp.ndarray,
-                   res_scale: float, dt: Optional[Any]) -> jnp.ndarray:
+                   res_scale: float, dt: Optional[Any],
+                   remat: bool = False) -> jnp.ndarray:
     """EDSR trunk: scan over nlayers identical ResBlocks (conv-relu-conv
     ×res_scale + skip — layers.ResBlock) with stacked collect-mode weights
     w (nlayers, 2, k, k, Cp, Cp) / b (nlayers, 2, Cp). Same
-    param-tree-preserving contract as scan_trunk."""
+    param-tree-preserving contract as scan_trunk. remat checkpoints each
+    block body so grad saves only the stacked block inputs (scan-with-grad
+    otherwise stacks every body intermediate over nlayers — the RCAN-scale
+    version of that measured a 19.4 GB on-chip OOM)."""
     dt = dt or x.dtype
 
     def block_body(r, p):
@@ -91,4 +95,5 @@ def scan_resblocks(x: jnp.ndarray, w: jnp.ndarray, b: jnp.ndarray,
         t = _conv(t, p[0][1], p[1][1], dt)
         return r + t * res_scale, None
 
-    return lax.scan(block_body, x, (w, b))[0]
+    body = jax.checkpoint(block_body) if remat else block_body
+    return lax.scan(body, x, (w, b))[0]

@@ -56,6 +56,47 @@ def test_scan_groups_grad_parity():
             err_msg=jax.tree_util.keystr(k))
 
 
+def test_scan_groups_remat_grad_parity():
+    """remat_trunk on/off are the same math: grads match to f32 roundoff.
+    (Default under scan_groups is remat ON — see the residual-size guard
+    below for why.)"""
+    _, m_on, v, x = _pair("f32")  # m_on: scan_groups with the remat default
+    m_off = build_model(dict(BASE, scan_groups=True, remat_trunk=False),
+                        1, 1, precision="f32")
+    g0 = jax.grad(lambda p: jnp.sum(m_off.apply(p, x) ** 2))(v)
+    g1 = jax.grad(lambda p: jnp.sum(m_on.apply(p, x) ** 2))(v)
+    for (k, a), (_, b) in zip(jax.tree_util.tree_leaves_with_path(g0),
+                              jax.tree_util.tree_leaves_with_path(g1)):
+        np.testing.assert_allclose(
+            np.asarray(b), np.asarray(a), rtol=0,
+            atol=5e-6 * (float(jnp.max(jnp.abs(a))) + 1e-30),
+            err_msg=jax.tree_util.keystr(k))
+
+
+def test_scan_groups_remat_bounds_residuals():
+    """The HBM contract that makes scan_groups usable on chip: WITHOUT remat,
+    scan-with-grad stacks every RCAB body intermediate over
+    (nlayers, nblocks) — measured 19.4 GB at the flagship batch 72, an OOM
+    on a 16 GB v5e. With the default group remat, no
+    (nlayers, nblocks, batch, H, W, C) residual survives in the lowered
+    gradient HLO."""
+    nl, nb = 3, 2
+    x = jnp.asarray(np.random.default_rng(0).normal(
+        size=(4, 8, 8, 1)), jnp.float32)
+    # packed batch 2 (lane_pack 2), packed channels 16
+    marker = f"{nl}x{nb}x2x8x8x16"
+
+    def grad_hlo(**kw):
+        m = build_model(dict(BASE, scan_groups=True, **kw), 1, 1,
+                        precision="f32")
+        v = m.init(jax.random.PRNGKey(0), x)
+        f = jax.jit(jax.grad(lambda p, a: jnp.sum(m.apply(p, a) ** 2)))
+        return f.lower(v, x).as_text()
+
+    assert marker in grad_hlo(remat_trunk=False)  # the failure mode exists
+    assert marker not in grad_hlo()               # and the default kills it
+
+
 def test_scan_groups_collapses_hlo():
     """The point of the mode: trunk convs no longer scale with depth.
     3x2 and 6x4 scanned trunks lower to the SAME number of convolutions."""
