@@ -54,12 +54,20 @@ def main() -> None:
             lr = jnp.asarray(np.random.default_rng(0).normal(
                 size=(2, size, size, 1)), jnp.float32)
             got = np.asarray(fn(lr))
-            want = np.asarray(m.apply(v, lr, train=False))
+            # compare against the JITTED live apply — that is what the
+            # artifact replaces. (The eager comparator is also printed:
+            # op-by-op execution can legitimately differ at f32-rounding
+            # level when Mosaic picks a different MXU pass config per
+            # compile for the pallas graphs.)
+            want = np.asarray(jax.jit(
+                lambda p, a: m.apply(p, a, train=False))(v, lr))
+            want_eager = np.asarray(m.apply(v, lr, train=False))
             err = float(np.max(np.abs(got - want)))
+            err_eager = float(np.max(np.abs(got - want_eager)))
             scale = float(np.max(np.abs(want))) or 1.0
             ok = err <= 1e-4 * scale
             print(f"{label}: {'OK' if ok else 'FAIL'} maxerr={err:.3e} "
-                  f"scale={scale:.3f}", flush=True)
+                  f"eager-cmp={err_eager:.3e} scale={scale:.3f}", flush=True)
             failures += 0 if ok else 1
         except Exception as e:
             print(f"{label}: FAIL {type(e).__name__}: {str(e)[:300]}",

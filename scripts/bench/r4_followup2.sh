@@ -31,5 +31,6 @@ run 4000 "python scripts/bench/compile_ab.py --combo scan,packed"
 run 3600 "python -u bench.py --scan-groups --dispatch jit"
 run 3600 "python -u bench.py --scan-groups --packed-opt --dispatch jit"
 run 3600 "python -u bench.py --scan-groups --dispatch aot"
+run 3600 "python -u bench.py --packed-opt --dispatch jit"
 
 echo DONE >> "$LOG"

@@ -234,14 +234,38 @@ class CheckpointManager:
             "loss": float(blob["loss"]), "interp_loss": float(blob.get("interp_loss", 0.0)),
         }
         if update_model:
+            # from_state_dict does NOT reliably raise on an opt-state layout
+            # mismatch (a flat optax.flatten subtree restored into a per-leaf
+            # template comes back with dict leaves) — validate the restored
+            # tree structure explicitly.
             try:
-                out["state"] = serialization.from_state_dict(state_template, blob["state"])
-            except (ValueError, KeyError):
-                # tail-tolerant partial restore: the reference allows reusing a
-                # trunk with a new upsampler head (FModule.load_state_dict,
-                # common/common.py:50-71) — mismatched tail/upsampler leaves
-                # keep their fresh init; any other mismatch is an error
-                out["state"] = _partial_restore(state_template, blob["state"])
+                restored = serialization.from_state_dict(state_template,
+                                                         blob["state"])
+            except (ValueError, KeyError, AttributeError, TypeError):
+                restored = None
+            if restored is not None and (
+                    jax.tree_util.tree_structure(restored)
+                    == jax.tree_util.tree_structure(state_template)):
+                out["state"] = restored
+            else:
+                # a checkpoint written with the other pipeline.packed_opt
+                # layout restores exactly (Adam moments preserved) via the
+                # ravel/unravel conversion in trainer/opt_interop.py
+                from sres_tpu.trainer.opt_interop import \
+                    restore_converting_opt_layout
+                converted = restore_converting_opt_layout(state_template,
+                                                          blob["state"])
+                if converted is not None:
+                    lgm().log("Converted optimizer state across the "
+                              "packed_opt layout boundary", display=True)
+                    out["state"] = converted
+                else:
+                    # tail-tolerant partial restore: the reference allows
+                    # reusing a trunk with a new upsampler head
+                    # (FModule.load_state_dict, common/common.py:50-71) —
+                    # mismatched tail/upsampler leaves keep their fresh
+                    # init; any other mismatch is an error
+                    out["state"] = _partial_restore(state_template, blob["state"])
         lgm().log(f"Loaded model checkpoint from {path}", display=True)
         return out
 

@@ -156,6 +156,66 @@ def test_packed_opt_bit_equal():
                                       err_msg=jax.tree_util.keystr(k))
 
 
+def test_packed_opt_checkpoint_interchange():
+    """Checkpoints ARE interchangeable across pipeline.packed_opt: the
+    ravel/unravel conversion (trainer/opt_interop.py) restores the Adam
+    moments exactly in either direction — continuing training after a
+    layout switch produces bit-equal params."""
+    import optax
+    from flax import serialization
+    from jax.sharding import Mesh
+    from sres_tpu.trainer.opt_interop import restore_converting_opt_layout
+    from sres_tpu.trainer.step import (StepConfig, build_train_step,
+                                       init_state)
+
+    sc = StepConfig(scale=4, downscale_factors=(2, 2), down_mode="bicubic",
+                    up_mode="bicubic", loss_fn="l2", data_downsample=1.0,
+                    target_idx=(0,), nchannels_in=1, has_bn=False)
+    mesh = Mesh(np.array(jax.devices()[:1]), ("data",))
+    m = build_model(dict(BASE, lane_pack=1), 1, 1, precision="f32")
+    hr = jnp.asarray(np.random.default_rng(0).normal(
+        size=(4, 1, 48, 48)), jnp.float32)
+    w = jnp.ones((4,), jnp.float32)
+
+    def fresh(packed):
+        opt = optax.adam(1e-4)
+        if packed:
+            opt = optax.flatten(opt)
+        st, _ = init_state(m, opt, jnp.zeros((1, 12, 12, 1), jnp.float32),
+                           seed=0)
+        return st, build_train_step(m, opt, sc, mesh)
+
+    # 3 steps per-leaf, then hand the checkpoint to a packed run
+    st_p, step_p = fresh(packed=False)
+    for _ in range(3):
+        st_p, _mt = step_p(st_p, hr, w)
+    sd = serialization.to_state_dict(jax.device_get(st_p))
+
+    st_f_tpl, step_f = fresh(packed=True)
+    st_f = restore_converting_opt_layout(st_f_tpl, sd)
+    assert st_f is not None
+    # host snapshots BEFORE stepping: the train step donates its input state
+    ref_opt_p = jax.device_get(st_p.opt_state)
+    sd_f = serialization.to_state_dict(jax.device_get(st_f))
+
+    # one more step in each layout must agree bit-for-bit
+    st_p2, _ = step_p(st_p, hr, w)
+    st_f2, _ = step_f(st_f, hr, w)
+    for (k, a), (_, b) in zip(
+            jax.tree_util.tree_leaves_with_path(st_p2.params),
+            jax.tree_util.tree_leaves_with_path(st_f2.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b),
+                                      err_msg=jax.tree_util.keystr(k))
+
+    # and back: packed checkpoint into a per-leaf run, moments exact
+    st_back_tpl, _ = fresh(packed=False)
+    st_back = restore_converting_opt_layout(st_back_tpl, sd_f)
+    assert st_back is not None
+    for a, b in zip(jax.tree_util.tree_leaves(st_back.opt_state),
+                    jax.tree_util.tree_leaves(ref_opt_p)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
 def test_scan_resblocks_edsr_parity():
     """EDSR's scanned ResBlock trunk (models/scan_trunk.py:scan_resblocks)
     matches the unrolled path: identical param tree, bit-equal bf16
