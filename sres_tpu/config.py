@@ -157,6 +157,8 @@ def compose(name: str, overrides: Dict[str, Any], config_dir: Optional[str] = No
         if group in overrides:
             choice = overrides[group]
             consumed.add(group)
+        if choice is None:  # optional group (`- preprocess: null`), not chosen
+            continue
         if _is_missing(choice):
             raise ValueError(f"Config group '{group}' is mandatory (???) and no override was given")
         gfile = cdir / group / f"{choice}.yaml"

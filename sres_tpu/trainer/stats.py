@@ -43,17 +43,23 @@ class StatsAccumulator:
     def entry(self, varname: str) -> StatsEntry:
         return self._entries.setdefault(varname, StatsEntry(varname))
 
-    def add_entry(self, varname: str, data: np.ndarray, istemporal: bool = True) -> None:
+    def add_entry(self, varname: str, data: np.ndarray, istemporal: bool = True,
+                  level_axis: Optional[int] = None) -> None:
         """Accumulate mean/std (and, for temporal stacks, successive-diff std)
-        of one (T, y, x) or (y, x) slab (reference: stats.py:48-70)."""
+        of one (T, y, x) or (y, x) slab (reference: stats.py:48-70). With
+        ``level_axis`` set, reduction keeps that axis so stats come out as
+        per-level vectors (the reference reduces over dims ['tiles','y','x']
+        keeping z — stats.py:52-56 — which feeds the *_by_level norm files)."""
         weight = data.shape[0] if istemporal else 1
         e = self.entry(varname)
-        e.add("mean", np.nanmean(data), weight)
-        e.add("std", np.nanstd(data), weight)
+        axes = (None if level_axis is None else
+                tuple(a for a in range(data.ndim) if a != level_axis % data.ndim))
+        e.add("mean", np.nanmean(data, axis=axes), weight)
+        e.add("std", np.nanstd(data, axis=axes), weight)
         if istemporal and data.shape[0] > 1:
             diff = np.diff(data, axis=0)
-            e.add("mean_diff", np.nanmean(diff), weight)
-            e.add("std_diff", np.nanstd(diff), weight)
+            e.add("mean_diff", np.nanmean(diff, axis=axes), weight)
+            e.add("std_diff", np.nanstd(diff, axis=axes), weight)
 
     def accumulate(self, statname: str) -> Dict[str, np.ndarray]:
         """Weighted merge: plain weighted mean for means, RMS-weighted for
@@ -73,12 +79,23 @@ class StatsAccumulator:
         return out
 
     def save(self, statname: str, filepath: str) -> None:
+        """Write accumulated stats as NetCDF (reference: stats.py:89-96).
+        Scalar stats land on a size-1 'scalar' dim; per-level vectors (from
+        ``add_entry(level_axis=...)``) get one shared dim per length, so the
+        *_by_level files round-trip through data/merra2.py:load_stats."""
         from scipy.io import netcdf_file
         os.makedirs(os.path.dirname(filepath), exist_ok=True)
         stats = self.accumulate(statname)
         f = netcdf_file(filepath, "w")
-        f.createDimension("scalar", 1)
+        dims: Dict[int, str] = {}
         for vn, val in stats.items():
-            v = f.createVariable(vn, "f8", ("scalar",))
-            v[:] = np.atleast_1d(val)
+            val = np.atleast_1d(np.asarray(val, np.float64))
+            n = val.size
+            if n not in dims:
+                dname = ("scalar" if n == 1 else
+                         ("z" if "z" not in dims.values() else f"z{n}"))
+                f.createDimension(dname, n)
+                dims[n] = dname
+            v = f.createVariable(vn, "f8", (dims[n],))
+            v[:] = val
         f.close()

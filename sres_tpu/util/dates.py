@@ -11,6 +11,31 @@ def drepr(d: TimeType) -> str:
     return d.strftime("%m/%d:%H/%Y") if isinstance(d, datetime) else str(d)
 
 
+def dstr(d: datetime) -> str:
+    """YYYYMMDD (reference: dates.py:21-22); also {year}/{month}/{day} kwargs
+    via skw for filename templates (reference: dates.py:9-10)."""
+    return f"{d.year}{d.month:02d}{d.day:02d}"
+
+
+def skw(d: datetime) -> dict:
+    return dict(year=str(d.year), month=f"{d.month:02d}", day=f"{d.day:02d}")
+
+
+def year_date_range(y0: int, y1: int, dt_days: int = 1,
+                    randomize: bool = False, seed: Optional[int] = None) -> List[datetime]:
+    """Daily datetimes over [y0, y1) (reference: dates.py:46-50 year_range —
+    named differently here because this module's year_range already returns
+    year ints). Randomization is seeded, never wall-clock global random."""
+    import numpy as _np
+    d0, dates = datetime(y0, 1, 1), []
+    while d0 < datetime(y1, 1, 1):
+        dates.append(d0)
+        d0 = d0 + timedelta(days=dt_days)
+    if randomize:
+        _np.random.default_rng(0 if seed is None else seed).shuffle(dates)
+    return dates
+
+
 def date_list(start: Optional[datetime], num_days: int) -> List[datetime]:
     if start is None or num_days <= 0:
         return []
