@@ -111,10 +111,14 @@ def main() -> None:
                         "bit-identical bf16) — collapses 410 trunk convs to "
                         "one group body in the HLO, cutting compile time "
                         "(models/scan_trunk.py)")
-    p.add_argument("--packed-opt", action="store_true", dest="packed_opt",
+    p.add_argument("--packed-opt", action=argparse.BooleanOptionalAction,
+                   dest="packed_opt", default=True,
                    help="optax.flatten the optimizer: Adam on one raveled "
                         "vector instead of ~1630 leaves (pipeline.packed_opt;"
-                        " collapses ~80%% of the step HLO text)")
+                        " collapses ~80%% of the step HLO text). DEFAULT ON "
+                        "since the round-4 on-chip ABBA (318.8/318.7 vs "
+                        "314.8/315.0 t/s, compile -50%%); --no-packed-opt "
+                        "restores the per-leaf Adam graph")
     p.add_argument("--scan", type=int, default=0,
                    help="K>0: run K optimizer steps per device dispatch "
                         "(lax.scan over K staged batches) — amortizes "

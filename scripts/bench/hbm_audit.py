@@ -20,8 +20,8 @@ import sys
 sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                 "..", ".."))
 
-MODES = ["train", "winograd", "winograd_stash", "int8_fused", "scan_packed",
-         "eval", "serve"]
+MODES = ["train", "train_packed", "winograd", "winograd_stash", "int8_fused",
+         "scan_packed", "eval", "serve"]
 
 
 def main() -> None:
@@ -80,6 +80,11 @@ def main() -> None:
         try:
             if mode == "train":
                 model, opt, st = build()
+                fn = build_train_step(model, opt, sc, mesh)
+                c = fn.lower(st, hr, w).compile()
+            elif mode == "train_packed":
+                # the bench/trainer DEFAULT since round 4 (packed_opt on)
+                model, opt, st = build(packed=True)
                 fn = build_train_step(model, opt, sc, mesh)
                 c = fn.lower(st, hr, w).compile()
             elif mode in ("winograd", "winograd_stash"):

@@ -264,7 +264,8 @@ def _norm_dataset(dset: Dataset, mu: Dict[str, np.ndarray],
     return out
 
 
-def stack_channels(dset: Dataset, tdim: str = "tiles") -> LArray:
+def stack_channels(dset: Dataset, tdim: str = "tiles",
+                   grid: Optional[LArray] = None) -> LArray:
     """Dataset → (channels, tiles, y, x) with z expanded per level
     (reference loader-side ds2array, sres/controller/rescale.py:74-92:
     channels are '{var}~{level_index}' for 3-D vars, var name otherwise;
@@ -273,7 +274,11 @@ def stack_channels(dset: Dataset, tdim: str = "tiles") -> LArray:
     sample = next((dset[n] for n in names if tdim in dset[n].dims), None)
     temporal = sample is not None
     nt = sample.sizes[tdim] if temporal else 1
-    grid = next(a for a in dset.values() if "y" in a.dims and "x" in a.dims)
+    if grid is None:
+        # any member variable that spans the full (y, x) grid; callers
+        # stacking grid-less datasets (pure forcings) pass `grid` explicitly
+        grid = next(a for a in dset.values()
+                    if "y" in a.dims and "x" in a.dims)
     ny, nx = grid.sizes["y"], grid.sizes["x"]
     planes, channels = [], []
     for n in names:
@@ -411,3 +416,55 @@ class MERRA2Dataset:
             sel = {v: targets[v] for v in target_variables if v in targets}
             results.append(stack_channels(self.normalize(sel)))
         return results
+
+    def extract_inputs_targets_forcings(self, window: Dataset) -> tuple:
+        """GraphCast-style triple: inputs exclude the forcing features, and
+        forcings are provided at the TARGET lead times (reference intent of
+        era52merra2.py:421-429 / merra2-sfno.yaml's forcing_variables
+        comment)."""
+        task = cfg().task
+        iv = task.input_variables
+        input_variables = list(iv.keys() if hasattr(iv, "keys") else iv)
+        target_variables = list(task.target_variables)
+        forcing_variables = list(task.get("forcing_variables", []) or [])
+        inputs, targets = self.extract_input_target_times(window)
+        inp = stack_channels(self.normalize(
+            {v: inputs[v] for v in input_variables if v in inputs}))
+        tgt = stack_channels(self.normalize(
+            {v: targets[v] for v in target_variables if v in targets}))
+        grid = next(a for a in targets.values()
+                    if "y" in a.dims and "x" in a.dims)
+        frc = stack_channels(self.normalize(
+            {v: targets[v] for v in forcing_variables if v in targets}),
+            grid=grid)
+        return inp, tgt, frc
+
+
+class MERRA2InputIterator:
+    """Cycling (inputs, targets, forcings) iterator over FMBatch windows
+    (reference: sres/data/era52merra2.py:396-429 MERRA2InputIterator —
+    there bound to the nonexistent merra2.model FMBatch; here over the
+    working MERRA2Dataset machinery). Matches the reference's cycling
+    ``i = (i+1) % n`` semantics: iteration never raises StopIteration, use
+    ``len()`` for one epoch."""
+
+    def __init__(self, train_dates=None, vres: str = "high", **kwargs: Any):
+        self.ds = MERRA2Dataset(train_dates=train_dates, vres=vres, **kwargs)
+
+    def __len__(self) -> int:
+        return self.ds.length
+
+    def __iter__(self) -> "MERRA2InputIterator":
+        self.ds.i = 0
+        return self
+
+    def __next__(self) -> tuple:
+        ds = self.ds
+        next_date = ds.get_date()
+        if ds.current_date != next_date:
+            ds.fmbatch.load(next_date)
+            ds.current_date = next_date
+        window = ds.fmbatch.get_train_data(ds.get_day_offset())
+        out = ds.extract_inputs_targets_forcings(window)
+        ds.i = (ds.i + 1) % ds.length
+        return out

@@ -348,10 +348,12 @@ def build_optimizer(task, packed: bool = False) -> optax.GradientTransformation:
     of ~1630 leaves, collapsing the per-leaf Adam graph that dominates the
     flagship step HLO (one sqrt per leaf — measured ~80% of the module's
     text) to a handful of flat-vector ops. Mathematically identical
-    (elementwise optimizer); the optimizer STATE becomes flat vectors, so
-    checkpoints written with packed_opt on/off are not interchangeable.
-    The injected-lr state path is unchanged (flatten preserves the inner
-    state type)."""
+    (elementwise optimizer); the optimizer STATE becomes flat vectors, but
+    checkpoints interchange exactly across the flag — CheckpointManager
+    converts the Adam moments through trainer/opt_interop.py on restore.
+    Default ON (pipeline.packed_opt) since the round-4 on-chip A/B:
+    compile −50%, runtime neutral-to-better (PERF.md). The injected-lr
+    state path is unchanged (flatten preserves the inner state type)."""
     lr = float(task.lr)
     wd = float(task.get("weight_decay", 0.0))
     base = partial(optax.adamw, weight_decay=wd) if wd > 0.0 else optax.adam

@@ -291,6 +291,26 @@ def test_dataset_iterates_across_day_boundary(m2):
     np.testing.assert_allclose(got, want, rtol=2e-5)
 
 
+def test_input_iterator_triple_and_cycling(m2):
+    from sres_tpu.data.merra2 import MERRA2InputIterator
+    from datetime import datetime as _dt
+    it = iter(MERRA2InputIterator(train_dates=[_dt(2000, 1, 1)]))
+    inputs, targets, forcings = next(it)
+    # inputs EXCLUDE the forcing features in the triple API
+    assert "day_progress_sin" not in list(inputs.coords["channels"])
+    assert inputs.shape[0] == 4 * 3 + 2 + 1          # 15 input channels
+    assert targets.shape == (2 * 3, 2, 12, 16)
+    # forcings are provided at the target lead times
+    assert forcings.shape == (4, 2, 12, 16)
+    assert sorted(forcings.coords["channels"]) == [
+        "day_progress_cos", "day_progress_sin",
+        "year_progress_cos", "year_progress_sin"]
+    # cycling: 4 offsets then wraps to item 0 without StopIteration
+    for _ in range(4):
+        next(it)
+    assert it.ds.i == 1
+
+
 def test_forcing_target_overlap_raises(m2):
     from sres_tpu.data.merra2 import MERRA2Dataset
     task = cfg().task
