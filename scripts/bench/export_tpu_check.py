@@ -55,10 +55,14 @@ def main() -> None:
                 size=(2, size, size, 1)), jnp.float32)
             got = np.asarray(fn(lr))
             # compare against the JITTED live apply — that is what the
-            # artifact replaces. (The eager comparator is also printed:
-            # op-by-op execution can legitimately differ at f32-rounding
-            # level when Mosaic picks a different MXU pass config per
-            # compile for the pallas graphs.)
+            # artifact replaces. (The eager comparator is also printed.
+            # Diagnosed round 4: a 2.6e-3 winograd mismatch was the
+            # weight-transform einsum running on the MXU live (bf16 at
+            # default precision; still not bitwise at HIGHEST) while the
+            # artifact constant-folds it exactly on the host — fixed by
+            # making transform_weights a straight-line VPU program in
+            # ops/winograd.py; see g_apply's docstring and
+            # scripts/bench/export_wino_diag.py.)
             want = np.asarray(jax.jit(
                 lambda p, a: m.apply(p, a, train=False))(v, lr))
             want_eager = np.asarray(m.apply(v, lr, train=False))

@@ -225,22 +225,130 @@ def at_t_apply(m, g):
 
 
 # ------------------------------------------------------------------ weights
+# The weight transforms are compensated (double-f32) straight-line VPU
+# programs, NOT einsums. Two reasons, both diagnosed round 4
+# (scripts/bench/export_wino_diag.py + PERF.md):
+#
+# 1. Serving-artifact bitwise parity. The artifact bakes params, so XLA
+#    constant-folds the transform on the HOST (exact IEEE f32); a live
+#    apply with runtime params lowers an einsum to MXU passes — bf16 at
+#    default precision (2.6e-3 output mismatch vs the artifact) and still
+#    not bitwise at Precision.HIGHEST (the multi-pass decomposition rounds
+#    differently than the host evaluator; the residual ~1e-7 discrepancy
+#    in U flips one bf16 ULP inside the kernel's matmuls → 1.6e-3).
+#    Elementwise IEEE f32 mul/add IS bitwise identical between the
+#    constant folder and the TPU VPU, so a fixed elementwise program makes
+#    baked and runtime transforms agree exactly (tests/test_winograd.py
+#    asserts the lowering stays dot-free).
+#
+# 2. Gradient stability of the group chain. The m=4 chain backward is
+#    measured to amplify generic U-perturbations ~1e8× into dx (a few
+#    recomputed pre-activations sit within ~1e-4 of the relu boundary, and
+#    the transform-domain cotangent is ~5e3× the output scale), so the
+#    naive-f32 straight-line form — 1-2 ULP from exact, same rms as the
+#    einsum but rounded in a different pattern — moved dx by 6e-3 RELATIVE
+#    vs the direct-conv oracle (measured: ~68 flipped positions spread
+#    through the chain). Dekker TwoProd + Knuth TwoSum make each output
+#    element CORRECTLY ROUNDED (≤0.5 ULP, the irreducible f32 output
+#    floor; measured 3.1e-10 rms vs exact-f64 at the bench weight scale),
+#    which agrees with the einsum everywhere except sparse 1-ULP tie
+#    sites — the group gradcheck passes with original margins. The
+#    transform is tiny (n²·9·Cin·Cout MACs per conv), so the extra ~15
+#    VPU ops per MAC are free at step scale.
+
+_SPLITTER = np.float32(4097.0)          # 2^12 + 1 (Veltkamp split, f32)
+
+
+def _veltkamp(a):
+    """a → (hi, lo) with a = hi + lo exactly, each half ≤12 mantissa bits."""
+    c = _SPLITTER * a
+    hi = c - (c - a)
+    return hi, a - hi
+
+
+@functools.lru_cache(maxsize=None)
+def _const_split(c: float):
+    """Trace-time Veltkamp split of a transform coefficient (f32 scalars);
+    returns (c32, hi, lo, is_pow2). Power-of-two coefficients multiply
+    exactly — no compensation needed."""
+    c32 = np.float32(c)
+    mant, _ = np.frexp(np.float64(c32))
+    if abs(mant) == 0.5:
+        return c32, None, None, True
+    t = np.float32(_SPLITTER * c32)
+    hi = np.float32(t - np.float32(t - c32))
+    return c32, hi, np.float32(c32 - hi), False
+
+
+def _two_sum(a, b):
+    """Knuth: a + b = s + e exactly (6 flops, branch-free IEEE f32)."""
+    s = a + b
+    bb = s - a
+    return s, (a - bb) + (b - (s - bb))
+
+
+def _comp_lincomb(coeffs, xs):
+    """Σ_i c_i·x_i in double-f32: coeffs are python floats (trace-time),
+    xs are (hi, lo) pairs (lo may be None). Returns (hi, lo)."""
+    s = e = None
+    for c, (xh, xl) in zip(coeffs, xs):
+        if c == 0.0:
+            continue
+        c32, ch, cl, pow2 = _const_split(float(c))
+        p = xh * c32
+        pe = None
+        if not pow2:                    # Dekker TwoProd: p + pe = xh·c32
+            ah, al = _veltkamp(xh)
+            pe = ((ah * ch - p) + ah * cl + al * ch) + al * cl
+        if s is None:
+            s, se = p, None
+        else:
+            s, se = _two_sum(s, p)
+        for term in (se, pe, (xl * c32 if xl is not None else None)):
+            if term is not None:
+                e = term if e is None else e + term
+    return s, e
+
+
 def transform_weights(w: jnp.ndarray, m: int) -> jnp.ndarray:
     """(3, 3, Cin, Cout) → (n², Cin, Cout) transform-domain weights
-    U[tap] = (G ⊗ G) w, computed in f32 (block-diagonal structure of
-    lane-packed weights is preserved — G acts on the spatial axes only)."""
-    g = jnp.asarray(_MATS[m][1], jnp.float32)
-    u = jnp.einsum("tp,sq,pqio->tsio", g, g, w.astype(jnp.float32))
+    U[tap] = (G ⊗ G) w in f32 (block-diagonal structure of lane-packed
+    weights is preserved — G acts on the spatial axes only). Compensated
+    straight-line program — see the block comment above for why this is
+    not an einsum."""
     n = m + 2
-    return u.reshape(n * n, w.shape[2], w.shape[3])
+    g = _MATS[m][1]                                       # float64 numpy
+    wf = w.astype(jnp.float32)
+    wp = [(wf[p], None) for p in range(3)]
+    rows = [_comp_lincomb(g[t], wp) for t in range(n)]    # n × (3, Ci, Co)
+    taps = []
+    for t in range(n):
+        rh, rl = rows[t]
+        cols = [(rh[q], None if rl is None else rl[q]) for q in range(3)]
+        for s_ in range(n):
+            th, tl = _comp_lincomb(g[s_], cols)
+            taps.append(th if tl is None else th + tl)
+    return jnp.stack(taps, axis=0)                        # (n², Ci, Co)
 
 
 def untransform_weight_grad(du: jnp.ndarray, m: int) -> jnp.ndarray:
-    """Adjoint of transform_weights: (n², Cin, Cout) → (3, 3, Cin, Cout)."""
-    g = jnp.asarray(_MATS[m][1], jnp.float32)
+    """Adjoint of transform_weights: (n², Cin, Cout) → (3, 3, Cin, Cout)
+    (same compensated straight-line form)."""
     n = m + 2
-    du4 = du.reshape(n, n, du.shape[1], du.shape[2]).astype(jnp.float32)
-    return jnp.einsum("tp,sq,tsio->pqio", g, g, du4)
+    g = _MATS[m][1]
+    duf = du.astype(jnp.float32)
+    cols = []                                             # cols[t][q] pairs
+    for t in range(n):
+        xs = [(duf[t * n + s], None) for s in range(n)]
+        cols.append([_comp_lincomb(g[:, q], xs) for q in range(3)])
+    rows = []
+    for p in range(3):
+        outq = []
+        for q in range(3):
+            h, l = _comp_lincomb(g[:, p], [cols[t][q] for t in range(n)])
+            outq.append(h if l is None else h + l)
+        rows.append(jnp.stack(outq, axis=0))
+    return jnp.stack(rows, axis=0)                        # (3, 3, Ci, Co)
 
 
 def flip_transpose_weights(w: jnp.ndarray) -> jnp.ndarray:

@@ -57,6 +57,41 @@ def test_factored_transform_programs(m):
 
 
 @pytest.mark.parametrize("m", [2, 4])
+def test_weight_transform_programs(m):
+    """transform_weights / untransform_weight_grad are compensated
+    (double-f32) straight-line VPU programs (no dot/einsum): exact vs the
+    G matrices, mutually adjoint, and their lowering contains NO dot op.
+    The no-dot property is what makes the serving artifact (params
+    constant-folded on host) bitwise equal to a live apply with runtime
+    params — MXU dot passes round differently than the host evaluator
+    (export_wino_diag.py, round 4); the compensation keeps the group
+    chain's gradcheck margins (see the block comment in ops/winograd.py)."""
+    import sres_tpu.ops.winograd as W
+    rng = np.random.default_rng(1)
+    n = m + 2
+    g = W._MATS[m][1]
+    w = jnp.asarray(rng.normal(size=(3, 3, 6, 5)).astype(np.float32))
+    du = jnp.asarray(rng.normal(size=(n * n, 6, 5)).astype(np.float32))
+    u = W.transform_weights(w, m)
+    ref = jnp.einsum("tp,sq,pqio->tsio", jnp.asarray(g, jnp.float32),
+                     jnp.asarray(g, jnp.float32), w).reshape(n * n, 6, 5)
+    np.testing.assert_allclose(u, ref, rtol=0, atol=1e-5)
+    dw = W.untransform_weight_grad(du, m)
+    ref_dw = jnp.einsum("tp,sq,tsio->pqio", jnp.asarray(g, jnp.float32),
+                        jnp.asarray(g, jnp.float32),
+                        du.reshape(n, n, 6, 5))
+    np.testing.assert_allclose(dw, ref_dw, rtol=0, atol=1e-5)
+    # adjointness: <Gw, du> == <w, Gᵀdu> (exact-adjoint VJP contract)
+    lhs = float(jnp.vdot(u, du))
+    rhs = float(jnp.vdot(w, dw))
+    assert abs(lhs - rhs) <= 1e-4 * max(1.0, abs(lhs))
+    for fn, arg in ((lambda a: W.transform_weights(a, m), w),
+                    (lambda a: W.untransform_weight_grad(a, m), du)):
+        hlo = jax.jit(fn).lower(arg).as_text()
+        assert "dot" not in hlo, f"m={m}: weight transform lowered to a dot"
+
+
+@pytest.mark.parametrize("m", [2, 4])
 def test_reference_matches_lax_conv(m):
     x, w, b = _data(c=8)
     w = w[:, :, :8, :8]
