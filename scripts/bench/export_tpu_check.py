@@ -60,9 +60,9 @@ def main() -> None:
             # weight-transform einsum running on the MXU live (bf16 at
             # default precision; still not bitwise at HIGHEST) while the
             # artifact constant-folds it exactly on the host — fixed by
-            # making transform_weights a straight-line VPU program in
-            # ops/winograd.py; see g_apply's docstring and
-            # scripts/bench/export_wino_diag.py.)
+            # making transform_weights a compensated straight-line VPU
+            # program — see the weights block comment in ops/winograd.py
+            # and scripts/bench/export_wino_diag.py.)
             want = np.asarray(jax.jit(
                 lambda p, a: m.apply(p, a, train=False))(v, lr))
             want_eager = np.asarray(m.apply(v, lr, train=False))

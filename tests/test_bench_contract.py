@@ -38,8 +38,9 @@ def test_hbm_audit_machinery_and_budget_guard():
     assert r.returncode == 0, r.stdout + r.stderr[-2000:]
     rep = json.loads(r.stdout.strip().splitlines()[-1])
     assert rep["pass"] is True
-    assert set(rep["modes"]) == {"train", "winograd", "winograd_stash",
-                                 "int8_fused", "scan_packed", "eval", "serve"}
+    assert set(rep["modes"]) == {"train", "train_packed", "winograd",
+                                 "winograd_stash", "int8_fused",
+                                 "scan_packed", "eval", "serve"}
     for mode, e in rep["modes"].items():
         assert e.get("hbm_model_gb", -1) > 0, (mode, e)
         assert e.get("headroom_gb", -1) > 0, (mode, e)
