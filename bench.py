@@ -123,6 +123,15 @@ def main() -> None:
                    help="K>0: run K optimizer steps per device dispatch "
                         "(lax.scan over K staged batches) — amortizes "
                         "host-dispatch latency; steps must divide by K")
+    p.add_argument("--windows", type=int, default=3,
+                   help="number of independently timed measurement windows "
+                        "of --steps each; the headline is the MEDIAN window "
+                        "and every window's throughput is reported in "
+                        "detail.windows_tps. Guards the captured number "
+                        "against one-sided tunnel stalls (the round-3 "
+                        "316->277 'regression' was tunnel-day variance — "
+                        "PERF.md round-4 bisect). 1 = the old single-window "
+                        "behavior")
     p.add_argument("--dispatch", choices=["aot", "jit"], default="aot",
                    help="'aot' (round-3 default): lower->compile once and "
                         "dispatch the compiled executable (also yields "
@@ -276,16 +285,27 @@ def main() -> None:
                 raise
             time.sleep(10)
 
-    t0 = time.perf_counter()
-    if scan > 0:
-        for i in range(ndisp):
-            state, metrics = train_step(state, stacks[i], wstack)
-        loss_val = float(metrics["mloss"][-1])  # fetch inside the timed region
-    else:
-        for i in range(args.steps):
-            state, metrics = train_step(state, hrs[i % nbuf], weight)
-        loss_val = float(metrics["mloss"])  # fetch inside the timed region
-    dt = time.perf_counter() - t0
+    # W independently timed windows; the per-window value fetch is INSIDE
+    # each timed region (block_until_ready returns early on this remote
+    # backend — CLAUDE.md). Median window = headline; the spread is
+    # reported so a one-sided tunnel stall is visible, not averaged in.
+    window_dts = []
+    for _w in range(max(1, args.windows)):
+        t0 = time.perf_counter()
+        if scan > 0:
+            for i in range(ndisp):
+                state, metrics = train_step(state, stacks[i], wstack)
+            loss_val = float(metrics["mloss"][-1])
+        else:
+            for i in range(args.steps):
+                state, metrics = train_step(state, hrs[i % nbuf], weight)
+            loss_val = float(metrics["mloss"])
+        window_dts.append(time.perf_counter() - t0)
+
+    import statistics
+    dt = statistics.median(window_dts)
+    windows_tps = [round(args.steps * batch / d / ndev, 2)
+                   for d in window_dts]
 
     tiles_per_sec = args.steps * batch / dt
     per_chip = tiles_per_sec / ndev
@@ -308,6 +328,7 @@ def main() -> None:
                                          else A100_BASELINE_TILES_PER_SEC), 3),
         "detail": {
             "devices": ndev, "batch": batch, "steps": args.steps,
+            "windows_tps": windows_tps, "window_policy": "median",
             "precision": precision, "lane_pack": args.lane_pack, "fused": args.fused, "scan": scan, "int8": args.int8, "int8_fused": args.int8_fused, "int8_full": args.int8_full, "winograd": args.winograd, "scan_groups": args.scan_groups, "packed_opt": args.packed_opt, "dispatch": args.dispatch, "step_ms": round(1000 * dt / args.steps, 2),
             "loss": loss_val, "mfu": round(mfu, 4),
             "hbm_peak_gb": _hbm_peak_gb(jax),

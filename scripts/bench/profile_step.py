@@ -99,6 +99,10 @@ def main():
     p.add_argument("--nfeatures", type=int, default=64)
     p.add_argument("--nlayers", type=int, default=10)
     p.add_argument("--nblocks", type=int, default=20)
+    p.add_argument("--packed-opt", action=argparse.BooleanOptionalAction,
+                   dest="packed_opt", default=True,
+                   help="flat-vector Adam (pipeline.packed_opt, the default "
+                        "since round 4) — profile the production step")
     args = p.parse_args()
 
     import jax
@@ -119,6 +123,8 @@ def main():
                               else "int8" if args.int8 else None))
     model = build_model(mcfg, 1, 1, precision="f32" if args.cpu else "bf16")
     optimizer = optax.adam(1e-4)
+    if args.packed_opt:
+        optimizer = optax.flatten(optimizer)
     state, has_bn = init_state(model, optimizer,
                                jnp.zeros((1, 48, 48, 1), jnp.float32), seed=0)
     sc = StepConfig(scale=4, downscale_factors=(2, 2), down_mode="bicubic",
