@@ -22,6 +22,12 @@ def test_bench_prints_one_json_line():
     for key in ("metric", "value", "unit", "vs_baseline"):
         assert key in blob
     assert blob["value"] > 0
+    # variance guard (round 4): the headline is the MEDIAN of --windows
+    # independently timed windows; the spread must be reported
+    wins = blob["detail"]["windows_tps"]
+    assert len(wins) == 3 and all(w > 0 for w in wins)
+    assert blob["detail"]["window_policy"] == "median"
+    assert blob["value"] == sorted(wins)[1]
 
 
 def test_hbm_audit_machinery_and_budget_guard():
