@@ -303,7 +303,10 @@ def main() -> None:
         window_dts.append(time.perf_counter() - t0)
 
     import statistics
-    dt = statistics.median(window_dts)
+    # median_high of the dts = the actually-measured window with the median
+    # (or, for even --windows, the lower-middle) throughput — the headline
+    # is always one of the reported windows, never an average of two
+    dt = statistics.median_high(window_dts)
     windows_tps = [round(args.steps * batch / d / ndev, 2)
                    for d in window_dts]
 

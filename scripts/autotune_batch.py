@@ -50,10 +50,9 @@ def main() -> None:
     from jax.sharding import Mesh
 
     from sres_tpu.models import build_model
-    from sres_tpu.parallel.mesh import batch_sharding, replicated
-    from sres_tpu.trainer.step import (StepConfig, build_eval_step,
-                                       build_train_step, init_state)
-    from sres_tpu.util.autotune import max_batch_fit, step_probe
+    from sres_tpu.trainer.step import StepConfig, init_state
+    from sres_tpu.util.autotune import (build_mode_step, max_batch_fit,
+                                        step_probe)
 
     if args.model_yaml:
         import yaml
@@ -65,32 +64,28 @@ def main() -> None:
         mcfg = dict(name="rcan", nfeatures=nf, nlayers=nl, nblocks=nb,
                     cbottleneck=2, kernel_size=3, downscale_factors=[2, 2],
                     loss_fn="l2", lane_pack=2)
+    # the probed step must match the model's real geometry: scale and
+    # downscale factors come from the model config, not a flagship constant
+    dfs = tuple(int(f) for f in mcfg.get("downscale_factors", [2, 2]))
+    scale = 1
+    for f in dfs:
+        scale *= f
     model = build_model(mcfg, 1, 1, precision="bf16")
     opt = optax.adam(1e-4)
     if args.mode == "train":
         opt = optax.flatten(opt)
     state, has_bn = init_state(model, opt,
                                jnp.zeros((1, 48, 48, 1), jnp.float32), seed=0)
-    sc = StepConfig(scale=4, downscale_factors=(2, 2), down_mode="bicubic",
+    sc = StepConfig(scale=scale, downscale_factors=dfs, down_mode="bicubic",
                     up_mode="bicubic", loss_fn=mcfg.get("loss_fn", "l2"),
                     data_downsample=1.0, target_idx=(0,), nchannels_in=1,
                     has_bn=has_bn)
     mesh = Mesh(np.asarray(jax.devices()[:1]), ("data",))
+    builder_mode = "train" if args.mode == "train_perleaf" else args.mode
 
     def build_step(batch: int):
-        hr = jnp.zeros((batch, 1, 192, 192), jnp.float32)
-        w = jnp.ones((batch,), jnp.float32)
-        if args.mode == "serve":
-            variables = {"params": state.params}
-            if has_bn and state.batch_stats:
-                variables["batch_stats"] = state.batch_stats
-            fwd = jax.jit(lambda v, x: model.apply(v, x, train=False),
-                          in_shardings=(replicated(mesh), batch_sharding(mesh)),
-                          out_shardings=batch_sharding(mesh))
-            return fwd, (variables, jnp.zeros((batch, 48, 48, 1), jnp.float32))
-        if args.mode == "eval":
-            return build_eval_step(model, sc, mesh), (state, hr, w)
-        return build_train_step(model, opt, sc, mesh), (state, hr, w)
+        return build_mode_step(model, opt, state, has_bn, sc, mesh,
+                               builder_mode, batch)
 
     probed_order = []
     base_probe = step_probe(build_step)
@@ -107,7 +102,10 @@ def main() -> None:
     batch, gb, probed = max_batch_fit(
         probe, budget_gb=args.budget_gb, headroom_gb=args.headroom_gb,
         lo=args.lo, hi=args.hi, quantum=args.quantum)
-    print(json.dumps({"recommended_batch": batch, "hbm_gb": gb,
+    import math
+    print(json.dumps({"recommended_batch": batch,
+                      # inf (nothing fits / OOM at lo) is not valid JSON
+                      "hbm_gb": gb if math.isfinite(gb) else None,
                       "probes": len(probed),
                       "budget_gb": args.budget_gb,
                       "mode": args.mode,

@@ -43,9 +43,8 @@ def main() -> None:
     from jax.sharding import Mesh
 
     from sres_tpu.models import build_model
-    from sres_tpu.parallel.mesh import batch_sharding, replicated
-    from sres_tpu.trainer.step import (StepConfig, build_eval_step,
-                                       build_train_step, init_state)
+    from sres_tpu.trainer.step import StepConfig, init_state
+    from sres_tpu.util.autotune import build_mode_step
     from sres_tpu.util.hbm import (HBMBudgetError, assert_fits,
                                    compiled_hbm_gb)
 
@@ -71,51 +70,27 @@ def main() -> None:
     report, ok = {}, True
     for mode in args.modes.split(","):
         b = 144 if mode == "int8_fused" and not args.tiny else batch
-        hr = jnp.zeros((b, 1, 192, 192), jnp.float32)
-        w = jnp.ones((b,), jnp.float32)
         if mode == "winograd_stash":
             os.environ["SRES_WINO_STASH_PRIMAL"] = "1"
         elif "SRES_WINO_STASH_PRIMAL" in os.environ:
             del os.environ["SRES_WINO_STASH_PRIMAL"]
+        # model-config variants per audit mode; the step+sample scaffolding
+        # itself is shared with scripts/autotune_batch.py (build_mode_step)
+        BUILD_KW = {"train": {}, "train_packed": {"packed": True},
+                    "winograd": {"wino": 2}, "winograd_stash": {"wino": 2},
+                    "int8_fused": {"quant": "int8_fused"},
+                    "scan_packed": {"scan": True, "packed": True},
+                    "eval": {}, "serve": {}}
+        if mode not in BUILD_KW:
+            report[mode] = {"error": "unknown mode"}
+            ok = False
+            continue
         try:
-            if mode == "train":
-                model, opt, st = build()
-                fn = build_train_step(model, opt, sc, mesh)
-                c = fn.lower(st, hr, w).compile()
-            elif mode == "train_packed":
-                # the bench/trainer DEFAULT since round 4 (packed_opt on)
-                model, opt, st = build(packed=True)
-                fn = build_train_step(model, opt, sc, mesh)
-                c = fn.lower(st, hr, w).compile()
-            elif mode in ("winograd", "winograd_stash"):
-                model, opt, st = build(wino=2)
-                fn = build_train_step(model, opt, sc, mesh)
-                c = fn.lower(st, hr, w).compile()
-            elif mode == "int8_fused":
-                model, opt, st = build(quant="int8_fused")
-                fn = build_train_step(model, opt, sc, mesh)
-                c = fn.lower(st, hr, w).compile()
-            elif mode == "scan_packed":
-                model, opt, st = build(scan=True, packed=True)
-                fn = build_train_step(model, opt, sc, mesh)
-                c = fn.lower(st, hr, w).compile()
-            elif mode == "eval":
-                model, opt, st = build()
-                fn = build_eval_step(model, sc, mesh)
-                c = fn.lower(st, hr, w).compile()
-            elif mode == "serve":
-                model, opt, st = build()
-                variables = {"params": st.params}
-                lr = jnp.zeros((b, 48, 48, 1), jnp.float32)
-                fwd = jax.jit(lambda v, x: model.apply(v, x, train=False),
-                              in_shardings=(replicated(mesh),
-                                            batch_sharding(mesh)),
-                              out_shardings=batch_sharding(mesh))
-                c = fwd.lower(variables, lr).compile()
-            else:
-                report[mode] = {"error": "unknown mode"}
-                ok = False
-                continue
+            model, opt, st = build(**BUILD_KW[mode])
+            step_mode = mode if mode in ("eval", "serve") else "train"
+            fn, sample = build_mode_step(model, opt, st, False, sc, mesh,
+                                         step_mode, b)
+            c = fn.lower(*sample).compile()
             gb = compiled_hbm_gb(c)
             entry = {"hbm_model_gb": gb, "batch": b}
             try:

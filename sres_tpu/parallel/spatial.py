@@ -17,6 +17,10 @@ import jax.numpy as jnp
 from jax import lax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
+# infer_region_sharded's jitted apply per (id(model), mesh, axis) — see the
+# comment at its use site
+_APPLY_CACHE: dict = {}
+
 
 def halo_conv2d(x: jnp.ndarray, w: jnp.ndarray, mesh: Mesh,
                 axis: str = "data") -> jnp.ndarray:
@@ -80,9 +84,20 @@ def infer_region_sharded(model, variables, region: jnp.ndarray, mesh: Mesh,
     rep = NamedSharding(mesh, P())
     x = jax.device_put(region, sharding)
 
-    @jax.jit
-    def fn(v, xin):
-        y = model.apply(v, xin, train=False)
-        return lax.with_sharding_constraint(y, sharding)
+    # jit's trace cache is keyed on the function object — cache the wrapper
+    # per (model, mesh, axis) so repeated region calls don't retrace and
+    # recompile (minutes through the axon tunnel). Keyed by id(model): the
+    # caller owns the model's lifetime (the trainer holds it for its life);
+    # the mesh key keeps ids alive-by-association acceptable at maxsize 32.
+    key = (id(model), mesh, axis)
+    fn = _APPLY_CACHE.get(key)
+    if fn is None:
+        @jax.jit
+        def fn(v, xin):
+            y = model.apply(v, xin, train=False)
+            return lax.with_sharding_constraint(y, sharding)
+        if len(_APPLY_CACHE) >= 32:
+            _APPLY_CACHE.clear()
+        _APPLY_CACHE[key] = fn
 
     return fn(jax.device_put(variables, rep), x)

@@ -112,6 +112,12 @@ class ModelTrainer:
                                             smap=self._smap)
         self._eval_step = build_eval_step(self.model, self.step_config,
                                           self.mesh, smap=self._smap)
+        # infer_region's jitted step, cached per grid shape: jit's trace
+        # cache is keyed on the function OBJECT, so rebuilding the closure
+        # every call would retrace + recompile the whole region program per
+        # timeslice (~70-100 s through the axon tunnel — measured,
+        # scripts/bench/region_infer_bench.py round 4)
+        self._region_step_cache: Dict[tuple, Any] = {}
         # K>1: stage K padded batches and run them in one scanned dispatch
         # (trainer/step.py:build_multi_train_step). Note the first two multi
         # dispatches each compile once (the donated carry's layouts differ
@@ -682,30 +688,33 @@ class ModelTrainer:
         state = self.state
         gs = (grid_shape["y"], grid_shape["x"])
 
-        @functools.partial(jax.jit,
-                           in_shardings=(jax.tree.map(lambda _: NamedSharding(self.mesh, P()), state),
-                                         NamedSharding(self.mesh, P("data")),
-                                         NamedSharding(self.mesh, P("data")),
-                                         NamedSharding(self.mesh, P("data")),
-                                         NamedSharding(self.mesh, P("data")),
-                                         NamedSharding(self.mesh, P("data"))),
-                           out_shardings=NamedSharding(self.mesh, P()))
-        def region_step(state, hr, weight, ids, scale, offset):
-            lr, target = prepare_inputs(hr, sc)
-            out, _ = _apply(self.model, state.params, state.batch_stats, lr, False, sc)
-            if isinstance(out, tuple):
-                out = out[-1]
-            interp = upsample(lr, float(sc.scale), sc.up_mode)
-            grid = dict(y=gs[0], x=gs[1])
-            images = {}
-            for name, arr in (("target", target * scale + offset),
-                              ("model", out * scale + offset),
-                              ("interpolated", interp * scale + offset),
-                              ("input", lr * scale + offset)):
-                chans = [assemble_tiles(arr[..., c], ids, grid, weight)
-                         for c in range(arr.shape[-1])]
-                images[name] = jnp.stack(chans, axis=0)
-            return images
+        region_step = self._region_step_cache.get(gs)
+        if region_step is None:
+            @functools.partial(jax.jit,
+                               in_shardings=(jax.tree.map(lambda _: NamedSharding(self.mesh, P()), state),
+                                             NamedSharding(self.mesh, P("data")),
+                                             NamedSharding(self.mesh, P("data")),
+                                             NamedSharding(self.mesh, P("data")),
+                                             NamedSharding(self.mesh, P("data")),
+                                             NamedSharding(self.mesh, P("data"))),
+                               out_shardings=NamedSharding(self.mesh, P()))
+            def region_step(state, hr, weight, ids, scale, offset):
+                lr, target = prepare_inputs(hr, sc)
+                out, _ = _apply(self.model, state.params, state.batch_stats, lr, False, sc)
+                if isinstance(out, tuple):
+                    out = out[-1]
+                interp = upsample(lr, float(sc.scale), sc.up_mode)
+                grid = dict(y=gs[0], x=gs[1])
+                images = {}
+                for name, arr in (("target", target * scale + offset),
+                                  ("model", out * scale + offset),
+                                  ("interpolated", interp * scale + offset),
+                                  ("input", lr * scale + offset)):
+                    chans = [assemble_tiles(arr[..., c], ids, grid, weight)
+                             for c in range(arr.shape[-1])]
+                    images[name] = jnp.stack(chans, axis=0)
+                return images
+            self._region_step_cache[gs] = region_step
 
         images = jax.device_get(region_step(state, jnp.asarray(hr), jnp.asarray(weight),
                                             jnp.asarray(tile_ids), jnp.asarray(scale),

@@ -24,6 +24,14 @@ from typing import Callable, Dict, Optional, Tuple
 from sres_tpu.util.hbm import DEFAULT_HEADROOM_GB, V5E_HBM_GB
 
 
+def _is_oom(exc: BaseException) -> bool:
+    """Only memory exhaustion counts as 'does not fit'; anything else (bad
+    config, shape mismatch, tunnel failure) must propagate to the caller."""
+    s = str(exc).lower()
+    return ("resource_exhausted" in s or "out of memory" in s
+            or "oom" in s or isinstance(exc, MemoryError))
+
+
 def max_batch_fit(probe_gb: Callable[[int], float],
                   budget_gb: float = V5E_HBM_GB,
                   headroom_gb: float = DEFAULT_HEADROOM_GB,
@@ -41,14 +49,21 @@ def max_batch_fit(probe_gb: Callable[[int], float],
     if quantum < 1:
         raise ValueError(f"quantum must be >= 1, got {quantum}")
     limit = budget_gb - headroom_gb
-    lo = max(quantum, (lo // quantum) * quantum)
-    hi = max(lo, (hi // quantum) * quantum)
+    # lo rounds UP to the lattice (the caller's minimum is honored), hi
+    # rounds DOWN (stay within the caller's maximum)
+    lo = ((max(1, lo) + quantum - 1) // quantum) * quantum
+    hi = (hi // quantum) * quantum
+    if hi < lo:
+        raise ValueError(f"no multiple of quantum={quantum} in [lo, hi] "
+                         f"after rounding (lo={lo}, hi={hi})")
     probed: Dict[int, float] = {}
 
     def fits(b: int) -> bool:
         try:
             probed[b] = probe_gb(b)
-        except Exception:
+        except Exception as exc:
+            if not _is_oom(exc):
+                raise  # a real bug in the probe must surface, not read as OOM
             probed[b] = float("inf")
         return probed[b] <= limit
 
@@ -77,6 +92,42 @@ def max_batch_fit(probe_gb: Callable[[int], float],
         else:
             bad = mid
     return good, probed[good], probed
+
+
+def build_mode_step(model, optimizer, state, has_bn: bool, sc, mesh,
+                    mode: str, batch: int) -> Tuple[Callable, tuple]:
+    """``(jittable fn, sample args)`` for a bench/audit mode — the single
+    home for the step scaffolding shared by scripts/autotune_batch.py and
+    scripts/bench/hbm_audit.py (serve-path shardings, has_bn handling, HR
+    sizing from the step config) so the two CLIs cannot drift.
+
+    mode: 'train' (uses ``optimizer`` as passed — packed or per-leaf),
+    'eval', or 'serve'. HR inputs are (B, C, 48*scale, 48*scale) channel-
+    first like the trainer's; serve takes NHWC LR tiles.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from sres_tpu.parallel.mesh import batch_sharding, replicated
+    from sres_tpu.trainer.step import build_eval_step, build_train_step
+
+    if mode == "serve":
+        variables = {"params": state.params}
+        if has_bn and state.batch_stats:
+            variables["batch_stats"] = state.batch_stats
+        fwd = jax.jit(lambda v, x: model.apply(v, x, train=False),
+                      in_shardings=(replicated(mesh), batch_sharding(mesh)),
+                      out_shardings=batch_sharding(mesh))
+        lr = jnp.zeros((batch, 48, 48, sc.nchannels_in), jnp.float32)
+        return fwd, (variables, lr)
+    hr_px = 48 * sc.scale
+    hr = jnp.zeros((batch, sc.nchannels_in, hr_px, hr_px), jnp.float32)
+    w = jnp.ones((batch,), jnp.float32)
+    if mode == "eval":
+        return build_eval_step(model, sc, mesh), (state, hr, w)
+    if mode != "train":
+        raise ValueError(f"unknown mode '{mode}' (train|eval|serve)")
+    return build_train_step(model, optimizer, sc, mesh), (state, hr, w)
 
 
 def step_probe(build_step: Callable[[int], Tuple[Callable, tuple]],

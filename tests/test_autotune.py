@@ -69,6 +69,25 @@ def test_bad_quantum_raises():
         max_batch_fit(lambda b: 1.0, quantum=0)
 
 
+def test_non_oom_probe_error_propagates():
+    """A bug in the probe (bad config, shape mismatch) must surface — only
+    memory exhaustion reads as 'does not fit'."""
+    def probe(b):
+        raise TypeError("bad model config")
+
+    with pytest.raises(TypeError):
+        max_batch_fit(probe, budget_gb=16.0)
+
+
+def test_lo_rounds_up_never_below_callers_minimum():
+    batch, _, probed = max_batch_fit(lambda b: 0.1 * b, budget_gb=16.0,
+                                     lo=12, hi=1024, quantum=8)
+    assert min(probed) == 16          # 12 rounds UP to the lattice, not down
+    assert batch == 152
+    with pytest.raises(ValueError):   # no lattice point inside [lo, hi]
+        max_batch_fit(lambda b: 1.0, lo=33, hi=40, quantum=16)
+
+
 @pytest.mark.parametrize("mode", ["train", "eval"])
 def test_cli_tiny_real_probe(mode):
     """The CLI's compiled probes on CPU: monotone footprints and a valid

@@ -360,3 +360,57 @@ def test_shard_map_step_matches_gspmd():
         for a, b in zip(jax.tree.leaves(sa.params), jax.tree.leaves(sb.params)):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                        rtol=1e-4, atol=2e-6)
+
+
+def test_infer_region_step_reused_across_calls(tmp_path):
+    """infer_region must reuse its jitted step across timeslices (round-4
+    fix: a fresh closure per call retraced + RECOMPILED the whole region
+    program every call — measured 70-100 s each through the axon tunnel,
+    scripts/bench/region_infer_bench.py)."""
+    from sres_tpu.data.inference_io import TSet
+    from sres_tpu.trainer import ModelTrainer
+    ConfigContext.set_defaults(platform="local", task="synthetic-tiles-48",
+                               dataset="synthetic", pipeline="sres")
+    over = {
+        "platform.root": str(tmp_path),
+        "dataset.image_size": {"y": 96, "x": 96},
+        "dataset.ntimes": 3, "dataset.nan_fraction": 0.1,
+        "task.tile_size": {"x": 12, "y": 12}, "task.batch_size": 4,
+        "task.ttsplit": {"train": 0.7, "valid": 0.3, "test": 0.0},
+        "task.xyflip": False,
+        "model.nfeatures": 8, "model.nlayers": 1,
+        "pipeline.precision": "f32",
+    }
+    with ConfigContext("sres", model="edsr", **over) as cc:
+        trainer = ModelTrainer(cc, seed=0)
+        trainer.init_data_timestamps()
+        ctimes = trainer.data_timestamps[TSet.Train]
+        r1 = trainer.infer_region(ctimes[0])
+        assert len(trainer._region_step_cache) == 1
+        fn = next(iter(trainer._region_step_cache.values()))
+        r2 = trainer.infer_region(ctimes[1 % len(ctimes)])
+        assert len(trainer._region_step_cache) == 1
+        assert next(iter(trainer._region_step_cache.values())) is fn
+        img = r2["SST"]["model"]
+        assert np.isfinite(img.data).any()
+
+
+def test_infer_region_sharded_apply_cached():
+    """parallel.spatial.infer_region_sharded reuses its jitted apply per
+    (model, mesh, axis) instead of retracing every region call."""
+    from sres_tpu.parallel import spatial
+    mcfg = dict(name="edsr", nfeatures=8, nlayers=1, nblocks=2,
+                kernel_size=3, downscale_factors=[2, 2], loss_fn="l2")
+    model = build_model(mcfg, 1, 1, precision="f32")
+    state, _ = init_state(model, optax.adam(1e-3),
+                          jnp.zeros((1, 16, 16, 1)), seed=0)
+    mesh = Mesh(np.asarray(jax.devices()[:8]), ("data",))
+    x = jnp.asarray(np.random.default_rng(0).normal(
+        size=(1, 64, 16, 1)).astype(np.float32))
+    spatial._APPLY_CACHE.clear()
+    y1 = spatial.infer_region_sharded(model, {"params": state.params}, x, mesh)
+    assert len(spatial._APPLY_CACHE) == 1
+    fn = next(iter(spatial._APPLY_CACHE.values()))
+    y2 = spatial.infer_region_sharded(model, {"params": state.params}, x, mesh)
+    assert next(iter(spatial._APPLY_CACHE.values())) is fn
+    np.testing.assert_array_equal(np.asarray(y1), np.asarray(y2))
