@@ -38,6 +38,10 @@ def main() -> None:
     p.add_argument("--model", type=str, default="rcan-10-20-64")
     p.add_argument("--seamless", action="store_true",
                    help="bench infer_region_seamless (overlap-margin mode)")
+    p.add_argument("--spatial", action="store_true",
+                   help="bench infer_region_spatial (whole-region GSPMD — "
+                        "no tiling; on one chip this is the full-image "
+                        "forward)")
     args = p.parse_args()
 
     import jax
@@ -65,6 +69,7 @@ def main() -> None:
         trainer.init_data_timestamps()
         ctime = trainer.data_timestamps[TSet.Train][0]
         infer = (trainer.infer_region_seamless if args.seamless
+                 else trainer.infer_region_spatial if args.spatial
                  else trainer.infer_region)
 
         t0 = time.perf_counter()
@@ -86,7 +91,7 @@ def main() -> None:
         med = statistics.median(dts)
         print(f"region {hr_px}x{hr_px} HR px ({args.grid}x{args.grid} tiles, "
               f"{ntiles} tiles), model {args.model}, "
-              f"{'seamless' if args.seamless else 'padded-batch'} mode, "
+              f"{'seamless' if args.seamless else 'spatial' if args.spatial else 'padded-batch'} mode, "
               f"platform {jax.devices()[0].platform}")
         print(f"  first call (compile+run): {compile_s:.1f} s")
         print(f"  windows s: {[round(d, 3) for d in dts]}  (median {med:.3f})")
