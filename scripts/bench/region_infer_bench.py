@@ -42,6 +42,10 @@ def main() -> None:
                    help="bench infer_region_spatial (whole-region GSPMD — "
                         "no tiling; on one chip this is the full-image "
                         "forward)")
+    p.add_argument("--stream", type=int, default=0, metavar="N",
+                   help="also bench infer_region_stream over N timeslices "
+                        "(prefetch-pipelined: host prep + D2H overlap device "
+                        "compute) vs N sequential infer_region calls")
     args = p.parse_args()
 
     import jax
@@ -98,6 +102,30 @@ def main() -> None:
         print(f"  regions/min: {60.0 / med:.2f}")
         print(f"  model-output Mpx/s: {hr_px * hr_px / med / 1e6:.2f}")
         print(f"  tiles/s (end-to-end incl. assembly+D2H): {ntiles / med:.1f}")
+
+        if args.stream > 0 and not (args.seamless or args.spatial):
+            # stream the same timeslice N times: host prep re-runs per entry
+            # (its cost is real each call), so the overlap win is like-for-like
+            # against N sequential infer_region calls — all three variants
+            # share the one compiled step (same process), so the A/B is clean
+            ctimes = [ctime] * args.stream
+
+            def run(tag, it):
+                t0 = time.perf_counter()
+                for _, res in it:
+                    float(np.nansum(next(iter(res.values()))["model"].data))
+                dt = time.perf_counter() - t0
+                seq = med * args.stream
+                print(f"  {tag} x{args.stream}: {dt:.2f} s total, "
+                      f"{dt / args.stream:.3f} s/region "
+                      f"({60.0 * args.stream / dt:.2f} regions/min) vs "
+                      f"sequential {seq:.2f} s — {seq / dt:.2f}x")
+
+            run("seq-loop", ((ct, trainer.infer_region(ct)) for ct in ctimes))
+            run("stream(prep-overlap)",
+                trainer.infer_region_stream(ctimes, prefetch=2))
+            run("stream(+fetch-overlap)",
+                trainer.infer_region_stream(ctimes, prefetch=2, overlap_fetch=True))
 
 
 if __name__ == "__main__":

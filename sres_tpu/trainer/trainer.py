@@ -636,28 +636,10 @@ class ModelTrainer:
         return assembled
 
     # ------------------------------------------------- multi-chip region inference
-    def infer_region(self, ctime: TimeType, **kwargs) -> Dict[str, Dict[str, LArray]]:
-        """Full-region tiled inference with on-device assembly: every tile of
-        the timeslice runs through the mesh-sharded eval in ONE padded batch
-        (padded to the full grid slot count → a single compilation), results
-        are denormalized and scattered into the region mosaic on device, and
-        only the final images cross to the host (BASELINE.json config #5).
-        """
-        import functools
-        from jax.sharding import NamedSharding, PartitionSpec as P
-        from sres_tpu.ops.assemble import assemble_tiles
-        from sres_tpu.ops.resize import upsample
-        from sres_tpu.trainer.step import _apply, prepare_inputs
-
-        if self.domain != batchDomain.Tiles:
-            raise NotImplementedError(
-                "infer_region requires a tiles-domain task (region datasets); "
-                "time-domain tasks cover a single tile grid — use evaluate()")
-        if kwargs.get("update_model", False):
-            meta = self.checkpoint_manager.load_checkpoint(self.state, TSet.Validation,
-                                                           update_model=True)
-            if meta and "state" in meta:
-                self.state = meta["state"]
+    def _prepare_region_inputs(self, ctime: TimeType):
+        """Host-side prep for one region timeslice: load, pad to the full
+        grid slot count, and build the denorm scale/offset panels. Pure
+        numpy — safe to run in a prefetch thread (infer_region_stream)."""
         timeslice = self.dataset.load_timeslice(ctime)
         grid_shape = dict(timeslice.attrs["grid_shape"])
         nslots = grid_shape["x"] * grid_shape["y"]
@@ -683,6 +665,18 @@ class ModelTrainer:
             rng_ = batch.attrs["max"] - batch.attrs["min"]
             scale[:ntiles] = np.transpose(rng_, (0, 2, 3, 1))
             offset[:ntiles] = np.transpose(batch.attrs["min"], (0, 2, 3, 1))
+        return grid_shape, hr, weight, tile_ids, scale, offset
+
+    def _get_region_step(self, grid_shape: Dict[str, int]):
+        """The jitted padded-batch region program, cached per grid shape
+        (jit's trace cache is keyed on the function OBJECT, so rebuilding the
+        closure every call would retrace + recompile per timeslice — ~70-100 s
+        through the axon tunnel; measured, scripts/bench/region_infer_bench.py)."""
+        import functools
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        from sres_tpu.ops.assemble import assemble_tiles
+        from sres_tpu.ops.resize import upsample
+        from sres_tpu.trainer.step import _apply, prepare_inputs
 
         sc = self.step_config
         state = self.state
@@ -715,15 +709,102 @@ class ModelTrainer:
                     images[name] = jnp.stack(chans, axis=0)
                 return images
             self._region_step_cache[gs] = region_step
+        return region_step
 
-        images = jax.device_get(region_step(state, jnp.asarray(hr), jnp.asarray(weight),
-                                            jnp.asarray(tile_ids), jnp.asarray(scale),
-                                            jnp.asarray(offset)))
+    def _region_result(self, images) -> Dict[str, Dict[str, LArray]]:
+        """D2H fetch of a region_step output + LArray wrapping."""
+        images = jax.device_get(images)
         result: Dict[str, Dict[str, LArray]] = {}
         for ivar, vname in enumerate(self.target_variables):
             result[vname] = {k: LArray(np.asarray(v[ivar]), ["y", "x"])
                              for k, v in images.items()}
         return result
+
+    def _maybe_update_model(self, kwargs: Dict[str, Any]) -> None:
+        if kwargs.get("update_model", False):
+            meta = self.checkpoint_manager.load_checkpoint(self.state, TSet.Validation,
+                                                           update_model=True)
+            if meta and "state" in meta:
+                self.state = meta["state"]
+
+    def infer_region(self, ctime: TimeType, **kwargs) -> Dict[str, Dict[str, LArray]]:
+        """Full-region tiled inference with on-device assembly: every tile of
+        the timeslice runs through the mesh-sharded eval in ONE padded batch
+        (padded to the full grid slot count → a single compilation), results
+        are denormalized and scattered into the region mosaic on device, and
+        only the final images cross to the host (BASELINE.json config #5).
+        """
+        if self.domain != batchDomain.Tiles:
+            raise NotImplementedError(
+                "infer_region requires a tiles-domain task (region datasets); "
+                "time-domain tasks cover a single tile grid — use evaluate()")
+        self._maybe_update_model(kwargs)
+        grid_shape, hr, weight, tile_ids, scale, offset = self._prepare_region_inputs(ctime)
+        region_step = self._get_region_step(grid_shape)
+        images = region_step(self.state, jnp.asarray(hr), jnp.asarray(weight),
+                             jnp.asarray(tile_ids), jnp.asarray(scale),
+                             jnp.asarray(offset))
+        return self._region_result(images)
+
+    def infer_region_stream(self, ctimes, prefetch: int = 2,
+                            overlap_fetch: bool = False, **kwargs):
+        """Pipelined multi-timeslice region inference: yields
+        ``(ctime, result)`` like repeated :meth:`infer_region` calls, but
+        overlaps the three serial phases across timeslices —
+
+        - HOST PREP of slice t+1..t+prefetch runs in a worker thread while
+          the device computes slice t (numpy load/pad/stats is a multi-second
+          cost at production region sizes);
+        - with ``overlap_fetch=True``, the DISPATCH of slice t+1 is also
+          enqueued before the D2H fetch of slice t blocks (jax dispatch is
+          async), so t's image transfer rides behind t+1's compute.
+
+        ``overlap_fetch`` defaults OFF: through the axon tunnel the link is
+        effectively serialized, and interleaving t's D2H with t+1's H2D was
+        measured SLOWER than sequential (21.4 vs 12.6 s/region at 3072² HR
+        px, scripts/bench/region_infer_bench.py --stream); host-prep-only
+        overlap is the safe win. Turn it on for locally-attached devices
+        where transfers and compute genuinely overlap. The reference's
+        equivalent scaling sweep re-enters its per-batch host loop per
+        timestep (scaling_results-swot-1.1v_20-20e.py:26-44) with no
+        overlap."""
+        from collections import deque
+        from concurrent.futures import ThreadPoolExecutor
+
+        if self.domain != batchDomain.Tiles:
+            raise NotImplementedError(
+                "infer_region_stream requires a tiles-domain task (region "
+                "datasets); time-domain tasks cover a single tile grid")
+        self._maybe_update_model(kwargs)
+        prefetch = max(1, int(prefetch))
+        ctimes = list(ctimes)
+        # One worker: loader prep is stateful (load_timeslice sets the
+        # current slice before select_batch), so preps must serialize.
+        with ThreadPoolExecutor(max_workers=1) as pool:
+            preps = deque(
+                (ct, pool.submit(self._prepare_region_inputs, ct))
+                for ct in ctimes[:prefetch])
+            nxt = prefetch
+            pending = None  # (ctime, dispatched device images) awaiting D2H
+            while preps:
+                ctime, fut = preps.popleft()
+                grid_shape, hr, weight, tile_ids, scale, offset = fut.result()
+                region_step = self._get_region_step(grid_shape)
+                images = region_step(self.state, jnp.asarray(hr), jnp.asarray(weight),
+                                     jnp.asarray(tile_ids), jnp.asarray(scale),
+                                     jnp.asarray(offset))
+                if nxt < len(ctimes):
+                    preps.append((ctimes[nxt],
+                                  pool.submit(self._prepare_region_inputs, ctimes[nxt])))
+                    nxt += 1
+                if not overlap_fetch:
+                    yield ctime, self._region_result(images)
+                    continue
+                if pending is not None:
+                    yield pending[0], self._region_result(pending[1])
+                pending = (ctime, images)
+            if pending is not None:
+                yield pending[0], self._region_result(pending[1])
 
     # --------------------------------------------- seam-free overlapped inference
     def infer_region_seamless(self, ctime: TimeType, margin: int = 8, **kwargs

@@ -414,3 +414,71 @@ def test_infer_region_sharded_apply_cached():
     y2 = spatial.infer_region_sharded(model, {"params": state.params}, x, mesh)
     assert next(iter(spatial._APPLY_CACHE.values())) is fn
     np.testing.assert_array_equal(np.asarray(y1), np.asarray(y2))
+
+
+def test_infer_region_stream_matches_per_call(tmp_path):
+    """infer_region_stream (prefetch-pipelined multi-timeslice inference)
+    yields bitwise the same images as repeated infer_region calls, in
+    timeslice order, reusing the same cached jitted step."""
+    from sres_tpu.data.inference_io import TSet
+    from sres_tpu.trainer import ModelTrainer
+    ConfigContext.set_defaults(platform="local", task="synthetic-tiles-48",
+                               dataset="synthetic", pipeline="sres")
+    over = {
+        "platform.root": str(tmp_path),
+        "dataset.image_size": {"y": 96, "x": 96},
+        "dataset.ntimes": 4, "dataset.nan_fraction": 0.1,
+        "task.tile_size": {"x": 12, "y": 12}, "task.batch_size": 4,
+        "task.ttsplit": {"train": 0.75, "valid": 0.25, "test": 0.0},
+        "task.xyflip": False,
+        "model.nfeatures": 8, "model.nlayers": 1,
+        "pipeline.precision": "f32",
+    }
+    with ConfigContext("sres", model="edsr", **over) as cc:
+        trainer = ModelTrainer(cc, seed=0)
+        trainer.init_data_timestamps()
+        ctimes = list(trainer.data_timestamps[TSet.Train])[:3]
+        expected = [(ct, trainer.infer_region(ct)) for ct in ctimes]
+        streamed = list(trainer.infer_region_stream(ctimes, prefetch=2))
+        assert len(trainer._region_step_cache) == 1
+        assert [ct for ct, _ in streamed] == ctimes
+        for (ct_e, res_e), (ct_s, res_s) in zip(expected, streamed):
+            assert res_e.keys() == res_s.keys()
+            for vname in res_e:
+                assert res_e[vname].keys() == res_s[vname].keys()
+                for panel in res_e[vname]:
+                    np.testing.assert_array_equal(
+                        res_e[vname][panel].data, res_s[vname][panel].data,
+                        err_msg=f"{vname}/{panel} @ t={ct_s}")
+
+
+def test_infer_region_stream_overlap_fetch_matches(tmp_path):
+    """overlap_fetch=True (dispatch-ahead) yields the same images/order."""
+    from sres_tpu.data.inference_io import TSet
+    from sres_tpu.trainer import ModelTrainer
+    ConfigContext.set_defaults(platform="local", task="synthetic-tiles-48",
+                               dataset="synthetic", pipeline="sres")
+    over = {
+        "platform.root": str(tmp_path),
+        "dataset.image_size": {"y": 96, "x": 96},
+        "dataset.ntimes": 4, "dataset.nan_fraction": 0.1,
+        "task.tile_size": {"x": 12, "y": 12}, "task.batch_size": 4,
+        "task.ttsplit": {"train": 0.75, "valid": 0.25, "test": 0.0},
+        "task.xyflip": False,
+        "model.nfeatures": 8, "model.nlayers": 1,
+        "pipeline.precision": "f32",
+    }
+    with ConfigContext("sres", model="edsr", **over) as cc:
+        trainer = ModelTrainer(cc, seed=0)
+        trainer.init_data_timestamps()
+        ctimes = list(trainer.data_timestamps[TSet.Train])[:3]
+        expected = [(ct, trainer.infer_region(ct)) for ct in ctimes]
+        streamed = list(trainer.infer_region_stream(ctimes, prefetch=2,
+                                                    overlap_fetch=True))
+        assert [ct for ct, _ in streamed] == ctimes
+        for (_, res_e), (ct_s, res_s) in zip(expected, streamed):
+            for vname in res_e:
+                for panel in res_e[vname]:
+                    np.testing.assert_array_equal(
+                        res_e[vname][panel].data, res_s[vname][panel].data,
+                        err_msg=f"{vname}/{panel} @ t={ct_s}")
