@@ -102,6 +102,31 @@ class WorkflowController:
                                            timestep, eval_results[vn])
         return image_results, eval_results
 
+    def inference_stream(self, timesteps, save: bool = True, prefetch: int = 2,
+                         **kwargs):
+        """Pipelined multi-timestep image inference: yields
+        ``(timestep, image_results)`` and saves the same per-timestep NetCDF
+        artifacts as repeated ``inference(t, ResultStructure.Image)`` calls.
+
+        Runs the TPU-native padded-batch region mode
+        (ModelTrainer.infer_region_stream): host prep for timestep t+1
+        overlaps device compute for t, so a scaling sweep approaches
+        max(host, device) per step instead of their sum. The reference's
+        sweep re-enters its per-batch host loop each timestep with no
+        overlap (scripts/inference/scaling_results-swot-1.1v_20-20e.py:26-44)."""
+        varnames = self.trainer.target_variables
+        tindices = self.trainer.get_dset_time_indices()
+        timesteps = list(timesteps)
+        ctimes = [tindices[t] for t in timesteps]
+        stream = self.trainer.infer_region_stream(ctimes, prefetch=prefetch,
+                                                  **kwargs)
+        for ts, (_, image_results) in zip(timesteps, stream):
+            if save:
+                for vn in varnames:
+                    save_inference_results(vn, ResultStructure.Image,
+                                           image_results[vn], ts, {})
+            yield ts, image_results
+
     # ---------------------------------------------------------------- plumbing
     def initialize(self, cname: str, model: str, **kwargs) -> None:
         self.model = model

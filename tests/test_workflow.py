@@ -320,3 +320,33 @@ def test_validate_reference_parity_dry_run():
     sweep = rep["sweep"]
     assert sweep["pass"] is True and len(sweep["deltas"]) == 2
     assert all(v == 0.0 for v in sweep["deltas"].values())
+
+
+def test_inference_stream_saves_netcdf(tmp_path):
+    """controller.inference_stream pipelines timesteps through the padded-
+    batch region mode and saves per-timestep Image NetCDFs loadable via
+    load_inference_results."""
+    from sres_tpu.data.inference_io import load_inference_results
+    configuration = dict(task="synthetic-tiles-48", dataset="synthetic",
+                         pipeline="sres", platform="local")
+    over = {"platform.root": str(tmp_path), "pipeline.device": "cpu",
+            "dataset.image_size": {"y": 96, "x": 96},
+            "dataset.ntimes": 4, "dataset.nan_fraction": 0.0,
+            "task.tile_size": {"x": 12, "y": 12}, "task.batch_size": 4,
+            "task.nepochs": 1, "task.xyflip": False,
+            "task.ttsplit": {"train": 0.75, "valid": 0.25, "test": 0.0},
+            "model.nfeatures": 8, "model.nlayers": 1,
+            "pipeline.precision": "f32"}
+    controller = WorkflowController("sres", configuration, seed=0)
+    controller.train(["edsr"], **over)
+    controller.initialize("sres", "edsr", **configuration, **over)
+    try:
+        got = list(controller.inference_stream([0, 1]))
+        assert [ts for ts, _ in got] == [0, 1]
+        for ts, images in got:
+            assert np.isfinite(images["SST"]["model"].data).any()
+            loaded, _ = load_inference_results("SST", ResultStructure.Image, ts)
+            np.testing.assert_array_equal(loaded["model"].data,
+                                          images["SST"]["model"].data)
+    finally:
+        controller.config.deactivate()
