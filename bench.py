@@ -302,6 +302,22 @@ def main() -> None:
             loss_val = float(metrics["mloss"])
         window_dts.append(time.perf_counter() - t0)
 
+    # hbm_peak_gb: runtime memory_stats() when the backend exposes them;
+    # otherwise (the axon tunnel returns None) the AOT memory_analysis
+    # footprint of the step executable (args+out+temp−aliased) is the peak —
+    # the step IS the program, its buffers ARE the high-water mark. The
+    # 16 GB v5e red-line is asserted here for the headline config so the
+    # scored artifact itself proves the budget held (util/hbm.py).
+    hbm_peak_gb = _hbm_peak_gb(jax)
+    hbm_peak_src = "memory_stats"
+    if hbm_peak_gb < 0 and hbm_model_gb > 0:
+        hbm_peak_gb, hbm_peak_src = hbm_model_gb, "aot_memory_analysis"
+    if hbm_peak_gb < 0:
+        hbm_peak_src = "unavailable"
+    if not args.cpu and hbm_peak_gb > 0:
+        from sres_tpu.util.hbm import assert_fits
+        assert_fits(hbm_peak_gb, "bench step", headroom_gb=0.0)
+
     import statistics
     # median_high of the dts = the actually-measured window with the median
     # (or, for even --windows, the lower-middle) throughput — the headline
@@ -334,7 +350,7 @@ def main() -> None:
             "windows_tps": windows_tps, "window_policy": "median",
             "precision": precision, "lane_pack": args.lane_pack, "fused": args.fused, "scan": scan, "int8": args.int8, "int8_fused": args.int8_fused, "int8_full": args.int8_full, "winograd": args.winograd, "scan_groups": args.scan_groups, "packed_opt": args.packed_opt, "dispatch": args.dispatch, "step_ms": round(1000 * dt / args.steps, 2),
             "loss": loss_val, "mfu": round(mfu, 4),
-            "hbm_peak_gb": _hbm_peak_gb(jax),
+            "hbm_peak_gb": hbm_peak_gb, "hbm_peak_src": hbm_peak_src,
             # compile-time footprint (args+temp+out-aliased) of the step
             # executable — available even where runtime stats are not
             "hbm_model_gb": hbm_model_gb,

@@ -113,7 +113,15 @@ class WorkflowController:
         overlaps device compute for t, so a scaling sweep approaches
         max(host, device) per step instead of their sum. The reference's
         sweep re-enters its per-batch host loop each timestep with no
-        overlap (scripts/inference/scaling_results-swot-1.1v_20-20e.py:26-44)."""
+        overlap (scripts/inference/scaling_results-swot-1.1v_20-20e.py:26-44).
+
+        Loads the best-validation checkpoint by default (update_model=True,
+        same as inference()); pass update_model=False to stream with the
+        in-memory state. Unlike inference(), the streamed NetCDF artifacts
+        carry NO per-variable eval losses (empty loss attrs): computing them
+        would re-enter the per-tile eval path per timestep and defeat the
+        pipelining — run inference(t, ResultStructure.Tiles) for losses."""
+        kwargs.setdefault("update_model", True)
         varnames = self.trainer.target_variables
         tindices = self.trainer.get_dset_time_indices()
         timesteps = list(timesteps)

@@ -51,7 +51,9 @@ def halo_conv2d(x: jnp.ndarray, w: jnp.ndarray, mesh: Mesh,
             xe, wl, (1, 1), [(0, 0), (r, r)], dimension_numbers=dn,
             preferred_element_type=xe.dtype)
 
-    from jax.experimental.shard_map import shard_map
+    shard_map = getattr(jax, "shard_map", None)
+    if shard_map is None:  # pre-0.8 jax
+        from jax.experimental.shard_map import shard_map
     fn = shard_map(local, mesh=mesh,
                    in_specs=(P(None, axis, None, None), P()),
                    out_specs=P(None, axis, None, None))

@@ -146,6 +146,14 @@ class ModelTrainer:
         # order must be reproducible across processes (multi-host training
         # shards the same shuffled batch sequence on every host)
         self._shuffle_rng = random.Random(seed)
+        # Serializes loader access between the infer_region_stream prefetch
+        # worker and any concurrent trainer call that touches the dataset
+        # (load_timeslice/select_batch are stateful on the shared loader):
+        # _prepare_region_inputs and the evaluate/process_image timeslice
+        # sections all acquire it, so concurrent calls serialize instead of
+        # racing on the loader's current-slice state.
+        import threading
+        self.loader_lock = threading.RLock()
         from concurrent.futures import ThreadPoolExecutor
         self._prefetch = (ThreadPoolExecutor(1, thread_name_prefix="timeslice-prefetch")
                           if bool(cfg().pipeline.get("prefetch", True)) else None)
@@ -488,26 +496,29 @@ class ModelTrainer:
 
         self.clear_results(tset)
         model_losses, interp_losses = [], []
-        for itime, ctime in enumerate(self.data_timestamps.get(tset, [])):
-            if self.time_index >= 0 and itime != self.time_index:
-                continue
-            tile_iter = self._tile_iterator(ctime)
-            for itile, ctile in enumerate(iter(tile_iter)):
-                if not self._tile_in_batch(itile, ctile):
+        # loader_lock: serialize with a live infer_region_stream prefetch
+        # worker — load_timeslice/select_batch share current-slice state
+        with self.loader_lock:
+            for itime, ctime in enumerate(self.data_timestamps.get(tset, [])):
+                if self.time_index >= 0 and itime != self.time_index:
                     continue
-                batch = self.dataset.get_batch_array(ctile, ctime)
-                if batch is None:
+                tile_iter = self._tile_iterator(ctime)
+                for itile, ctile in enumerate(iter(tile_iter)):
+                    if not self._tile_in_batch(itile, ctile):
+                        continue
+                    batch = self.dataset.get_batch_array(ctile, ctime)
+                    if batch is None:
+                        break
+                    hr, weight, nvalid = self._pad_batch(batch)
+                    metrics, outputs = self._run_eval_step(hr, weight, ctime)
+                    m = jax.device_get(metrics)
+                    model_losses.append(float(m["sloss"]))
+                    interp_losses.append(float(m["interp_sloss"]))
+                    self._merge_results(tset, outputs, nvalid)
+                    if self.tile_index >= 0:
+                        break
+                if self.time_index >= 0:
                     break
-                hr, weight, nvalid = self._pad_batch(batch)
-                metrics, outputs = self._run_eval_step(hr, weight, ctime)
-                m = jax.device_get(metrics)
-                model_losses.append(float(m["sloss"]))
-                interp_losses.append(float(m["interp_sloss"]))
-                self._merge_results(tset, outputs, nvalid)
-                if self.tile_index >= 0:
-                    break
-            if self.time_index >= 0:
-                break
 
         if not model_losses:
             return {}, {}
@@ -576,25 +587,28 @@ class ModelTrainer:
             self.state = meta["state"]
         self.init_data_timestamps()
         ctime = self.data_timestamps[TSet.Train][itime]
-        timeslice = self.dataset.load_timeslice(ctime)
         cvar = kwargs.get("var", None)
         output_vars = [cvar] if cvar is not None else self.target_variables
 
         batches, model_losses, interp_losses = [], [], []
-        tile_iter = self._tile_iterator(ctime)
-        for ctile in iter(tile_iter):
-            batch = self.dataset.get_batch_array(ctile, ctime)
-            if batch is None:
-                break
-            hr, weight, nvalid = self._pad_batch(batch)
-            metrics, outputs = self._run_eval_step(hr, weight, ctime)
-            m = jax.device_get(metrics)
-            model_losses.append(float(m["sloss"]))
-            interp_losses.append(float(m["interp_sloss"]))
-            lr, out, tar, interp = [np.asarray(o)[:nvalid] for o in jax.device_get(outputs)]
-            attrs = batch.attrs
-            batches.append(dict(input=denorm(lr, attrs), target=denorm(tar, attrs),
-                                interpolated=denorm(interp, attrs), model=denorm(out, attrs)))
+        # loader_lock: serialize with a live infer_region_stream prefetch
+        # worker (shared stateful loader)
+        with self.loader_lock:
+            timeslice = self.dataset.load_timeslice(ctime)
+            tile_iter = self._tile_iterator(ctime)
+            for ctile in iter(tile_iter):
+                batch = self.dataset.get_batch_array(ctile, ctime)
+                if batch is None:
+                    break
+                hr, weight, nvalid = self._pad_batch(batch)
+                metrics, outputs = self._run_eval_step(hr, weight, ctime)
+                m = jax.device_get(metrics)
+                model_losses.append(float(m["sloss"]))
+                interp_losses.append(float(m["interp_sloss"]))
+                lr, out, tar, interp = [np.asarray(o)[:nvalid] for o in jax.device_get(outputs)]
+                attrs = batch.attrs
+                batches.append(dict(input=denorm(lr, attrs), target=denorm(tar, attrs),
+                                    interpolated=denorm(interp, attrs), model=denorm(out, attrs)))
 
         images, losses = {}, {}
         tile_ids = np.asarray(timeslice.coords["tiles"])
@@ -639,14 +653,17 @@ class ModelTrainer:
     def _prepare_region_inputs(self, ctime: TimeType):
         """Host-side prep for one region timeslice: load, pad to the full
         grid slot count, and build the denorm scale/offset panels. Pure
-        numpy — safe to run in a prefetch thread (infer_region_stream)."""
-        timeslice = self.dataset.load_timeslice(ctime)
-        grid_shape = dict(timeslice.attrs["grid_shape"])
-        nslots = grid_shape["x"] * grid_shape["y"]
-        pad_n = pad_to_multiple(nslots, self.ndata)
+        numpy — safe to run in a prefetch thread (infer_region_stream); holds
+        ``self.loader_lock`` for the stateful load+select so a concurrent
+        trainer call can't interleave with a background prep."""
+        with self.loader_lock:
+            timeslice = self.dataset.load_timeslice(ctime)
+            grid_shape = dict(timeslice.attrs["grid_shape"])
+            nslots = grid_shape["x"] * grid_shape["y"]
+            pad_n = pad_to_multiple(nslots, self.ndata)
 
-        loader = self.dataset.srbatch.data_loader
-        batch = loader.select_batch((0, timeslice.shape[0]))
+            loader = self.dataset.srbatch.data_loader
+            batch = loader.select_batch((0, timeslice.shape[0]))
         ntiles = batch.shape[0]
         hr = np.zeros((pad_n,) + batch.data.shape[1:], np.float32)
         hr[:ntiles] = batch.data
@@ -764,7 +781,11 @@ class ModelTrainer:
         measured SLOWER than sequential (21.4 vs 12.6 s/region at 3072² HR
         px, scripts/bench/region_infer_bench.py --stream); host-prep-only
         overlap is the safe win. Turn it on for locally-attached devices
-        where transfers and compute genuinely overlap. The reference's
+        where transfers and compute genuinely overlap — but note it keeps
+        slice t's full region image set live on device while t+1's inputs
+        AND outputs are resident, roughly DOUBLING peak region HBM at
+        production sizes (relevant against the 16 GB red-line, util/hbm.py;
+        scripts/bench/hbm_audit.py budgets the overlap mode). The reference's
         equivalent scaling sweep re-enters its per-batch host loop per
         timestep (scaling_results-swot-1.1v_20-20e.py:26-44) with no
         overlap."""

@@ -341,8 +341,17 @@ def test_inference_stream_saves_netcdf(tmp_path):
     controller.train(["edsr"], **over)
     controller.initialize("sres", "edsr", **configuration, **over)
     try:
+        # the stream runs FIRST on the fresh (random-init) trainer: its
+        # update_model=True default must load the best-val checkpoint, so
+        # the output below must match an explicit checkpoint-loaded
+        # infer_region — guards the untrained-weights regression where
+        # inference_stream silently saved random-init artifacts
         got = list(controller.inference_stream([0, 1]))
         assert [ts for ts, _ in got] == [0, 1]
+        ctimes = controller.trainer.get_dset_time_indices()
+        ref = controller.trainer.infer_region(ctimes[0], update_model=True)
+        np.testing.assert_array_equal(got[0][1]["SST"]["model"].data,
+                                      ref["SST"]["model"].data)
         for ts, images in got:
             assert np.isfinite(images["SST"]["model"].data).any()
             loaded, _ = load_inference_results("SST", ResultStructure.Image, ts)
