@@ -62,6 +62,99 @@ def _hbm_peak_gb(jax) -> float:
         return -1.0
 
 
+def _bench_region(args, jax, np) -> None:
+    """--region GRID: the user-facing region-inference number (VERDICT r4
+    item #6). Times ModelTrainer.infer_region{,_seamless,_spatial,_stream}
+    end-to-end — host timeslice prep, H2D, sharded forward, on-device
+    denorm + mosaic assembly, D2H of the assembled images — on a synthetic
+    GRIDxGRID tile region at the flagship operating point. The reference's
+    equivalent path is process_image's per-batch host loop
+    (/root/reference/sres/controller/dual_trainer.py:396-447)."""
+    import statistics
+    import tempfile
+
+    # trainer console logs must not break the one-JSON-line stdout contract
+    os.environ["SRES_LOG_TO_STDERR"] = "1"
+
+    from sres_tpu.config import ConfigContext
+    from sres_tpu.data.inference_io import TSet
+    from sres_tpu.trainer import ModelTrainer
+
+    grid = args.region
+    hr_px = 192 * grid
+    windows = max(1, args.windows)
+    nslices = max(2, args.steps) if args.region_mode == "stream" else 2
+    tmp = tempfile.mkdtemp(prefix="sres_bench_region_")
+    ConfigContext.set_defaults(platform="local", task="synthetic-tiles-48",
+                               dataset="synthetic", pipeline="sres")
+    over = {
+        "platform.root": tmp,
+        "dataset.image_size": {"y": hr_px, "x": hr_px},
+        "dataset.ntimes": nslices, "dataset.nan_fraction": 0.1,
+        "task.batch_size": 72,
+        "task.ttsplit": {"train": 1.0, "valid": 0.0, "test": 0.0},
+    }
+    model = args.model_yaml or "rcan-10-20-64"
+    if not args.model_yaml:
+        # flagship config with the CLI's size knobs (CPU smoke tests shrink)
+        over.update({"model.nlayers": args.nlayers, "model.nblocks": args.nblocks,
+                     "model.nfeatures": args.nfeatures,
+                     "model.lane_pack": args.lane_pack})
+    if args.f32:
+        over["pipeline.precision"] = "f32"
+    with ConfigContext("sres", model=model, **over) as cc:
+        trainer = ModelTrainer(cc, seed=0)
+        trainer.init_data_timestamps()
+        ctimes = trainer.data_timestamps[TSet.Train][:nslices]
+        ntiles = grid * grid
+
+        def fetch(res):
+            float(np.nansum(next(iter(res.values()))["model"].data))
+
+        if args.region_mode == "stream":
+            # warm the compile with one plain region call
+            fetch(trainer.infer_region(ctimes[0]))
+            dts = []
+            for _ in range(windows):
+                t0 = time.perf_counter()
+                for _, res in trainer.infer_region_stream(ctimes, prefetch=2):
+                    fetch(res)
+                dts.append((time.perf_counter() - t0) / len(ctimes))
+        else:
+            infer = {"tiled": trainer.infer_region,
+                     "seamless": trainer.infer_region_seamless,
+                     "spatial": trainer.infer_region_spatial}[args.region_mode]
+            fetch(infer(ctimes[0]))  # compile + first run
+            dts = []
+            for i in range(windows):
+                t0 = time.perf_counter()
+                # alternate timeslices so the host prep cost is real per call
+                # AND the per-grid-shape jit cache must be hit across slices
+                fetch(infer(ctimes[i % len(ctimes)]))
+                dts.append(time.perf_counter() - t0)
+            assert len(trainer._region_step_cache) <= 1 or args.region_mode != "tiled", \
+                "region step retraced across timeslices (jit cache miss)"
+
+        med = statistics.median_high(dts)
+        ndev = len(jax.devices())
+        print(json.dumps({
+            "metric": (f"{model} x4 region inference ({args.region_mode}, "
+                       f"{hr_px}x{hr_px} HR px)"),
+            "value": round(60.0 / med, 2),
+            "unit": "regions/min",
+            "vs_baseline": round((ntiles / med) / A100_BASELINE_EVAL_TILES_PER_SEC, 3),
+            "detail": {
+                "devices": ndev, "grid": grid, "hr_px": hr_px,
+                "tiles": ntiles, "mode": args.region_mode,
+                "windows_s": [round(d, 3) for d in dts],
+                "window_policy": "median",
+                "s_per_region": round(med, 3),
+                "tiles_per_s_end_to_end": round(ntiles / med, 1),
+                "model_mpx_per_s": round(hr_px * hr_px / med / 1e6, 2),
+            },
+        }))
+
+
 def main() -> None:
     p = argparse.ArgumentParser()
     p.add_argument("--steps", type=int, default=30)
@@ -132,6 +225,23 @@ def main() -> None:
                         "316->277 'regression' was tunnel-day variance — "
                         "PERF.md round-4 bisect). 1 = the old single-window "
                         "behavior")
+    p.add_argument("--region", type=int, default=0, metavar="GRID",
+                   help="measure REGION-INFERENCE throughput instead of "
+                        "training: full infer_region path (host timeslice "
+                        "prep, padded-batch H2D, sharded forward, on-device "
+                        "denorm+mosaic, D2H of the assembled images) on a "
+                        "GRIDxGRID synthetic tile region (HR px = 192*GRID). "
+                        "Prints the same ONE-JSON-line contract with "
+                        "regions/min + effective tiles/s")
+    p.add_argument("--region-mode", choices=["tiled", "seamless", "spatial",
+                                             "stream"],
+                   default="tiled", dest="region_mode",
+                   help="--region submode: 'tiled' = infer_region padded "
+                        "batch; 'seamless' = halo-margin crops; 'spatial' = "
+                        "whole-region GSPMD forward; 'stream' = "
+                        "infer_region_stream over --steps timeslices with "
+                        "prefetch overlap (effective s/region incl. host "
+                        "prep)")
     p.add_argument("--dispatch", choices=["aot", "jit"], default="aot",
                    help="'aot' (round-3 default): lower->compile once and "
                         "dispatch the compiled executable (also yields "
@@ -153,6 +263,10 @@ def main() -> None:
         jax.config.update("jax_platforms", "cpu")
     import jax.numpy as jnp
     import numpy as np
+
+    if args.region:
+        _bench_region(args, jax, np)
+        return
 
     from sres_tpu.models import build_model
     from sres_tpu.parallel.mesh import get_mesh

@@ -92,7 +92,11 @@ class LogManager:
             self._log_stream.write(f"[{self.ctime}] {msg}\n")
             self._log_stream.flush()
         if display:
-            print(msg, flush=True, end=end)
+            # SRES_LOG_TO_STDERR=1: keep stdout clean for CLIs with a
+            # machine-readable stdout contract (bench.py's one JSON line)
+            import os
+            out = sys.stderr if os.environ.get("SRES_LOG_TO_STDERR") == "1" else sys.stdout
+            print(msg, flush=True, end=end, file=out)
 
     def debug(self, msg) -> None:
         if self._level == logging.DEBUG:

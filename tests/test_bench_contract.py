@@ -69,3 +69,26 @@ def test_hbm_assert_fits_unit():
     assert assert_fits(15.0, "x") == 0.75
     with pytest.raises(HBMBudgetError, match="15.9"):
         assert_fits(15.9, "flagship b72")
+
+
+def test_bench_region_prints_one_json_line():
+    """bench.py --region GRID (round-5 verdict item #6): the region-inference
+    benchmark obeys the same one-JSON-line contract, reports regions/min +
+    end-to-end tiles/s, and hits the per-grid-shape jit cache across
+    timeslices (asserted inside bench.py — a retrace fails the run)."""
+    env = dict(os.environ)
+    env["PYTHONPATH"] = "/root/repo"
+    r = subprocess.run(
+        [sys.executable, "/root/repo/bench.py", "--cpu", "--f32",
+         "--region", "4", "--windows", "2", "--nlayers", "1", "--nblocks", "2",
+         "--nfeatures", "8", "--lane_pack", "1"],
+        capture_output=True, text=True, timeout=560, env=env)
+    assert r.returncode == 0, r.stderr[-2000:]
+    lines = [l for l in r.stdout.strip().splitlines() if l.strip()]
+    assert len(lines) == 1, lines
+    blob = json.loads(lines[0])
+    assert blob["unit"] == "regions/min" and blob["value"] > 0
+    d = blob["detail"]
+    assert d["grid"] == 4 and d["hr_px"] == 768 and d["tiles"] == 16
+    assert d["tiles_per_s_end_to_end"] > 0
+    assert len(d["windows_s"]) == 2
