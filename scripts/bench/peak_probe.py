@@ -41,6 +41,9 @@ def main() -> None:
     p.add_argument("--conv-batch", type=int, default=36, dest="conv_batch",
                    help="conv probe batch (shrink for CPU smoke tests: XLA:CPU "
                         "runs conv thunks single-threaded inside fori_loop)")
+    p.add_argument("--straightline", action="store_true",
+                   help="only the unrolled straight-line conv-chain probes "
+                        "(the production-step shape; no fori_loop harness)")
     args = p.parse_args()
 
     import jax
@@ -52,16 +55,25 @@ def main() -> None:
     dev = jax.devices()[0]
     print(f"# device: {dev}", file=sys.stderr)
 
+    if args.straightline:
+        nc = 4 if args.cpu else 50
+        straightline_probe(nconvs=nc, batch=args.conv_batch, with_ca=False)
+        straightline_probe(nconvs=nc, batch=args.conv_batch, with_ca=True)
+        return
+
     results = {}
 
-    def timed(name, fn, x, flops_per_iter):
+    def timed(name, fn, x, flops_per_iter, *extra):
+        # operands pass as ARGUMENTS, never closure constants — a closed-over
+        # array bakes into the HLO and blows the tunnel's HTTP request limit
+        # at large sizes (measured: 16384^2 bf16 -> HTTP 413)
         f = jax.jit(fn)
-        y = f(x)  # compile + warm
+        y = f(x, *extra)  # compile + warm
         float(np.asarray(y).ravel()[0])
         best = float("inf")
         for _ in range(3):
             t0 = time.perf_counter()
-            y = f(x)
+            y = f(x, *extra)
             float(np.asarray(y).ravel()[0])  # value fetch INSIDE timed region
             best = min(best, time.perf_counter() - t0)
         tfs = flops_per_iter * args.iters / best / 1e12
@@ -79,15 +91,15 @@ def main() -> None:
     mm_flops = 2.0 * M * M * M
 
     def mm_loop(pet):
-        def f(x):
+        def f(x, bb):
             def body(_, c):
-                return jnp.dot(c, b, preferred_element_type=pet).astype(jnp.bfloat16)
+                return jnp.dot(c, bb, preferred_element_type=pet).astype(jnp.bfloat16)
             y = jax.lax.fori_loop(0, args.iters, body, x)
             return jnp.sum(y[:1, :1])
         return f
 
-    timed("matmul_bf16_f32acc", mm_loop(jnp.float32), a, mm_flops)
-    timed("matmul_bf16_bf16acc", mm_loop(jnp.bfloat16), a, mm_flops)
+    timed("matmul_bf16_f32acc", mm_loop(jnp.float32), a, mm_flops, b)
+    timed("matmul_bf16_bf16acc", mm_loop(jnp.bfloat16), a, mm_flops, b)
 
     # --- 2. bench-shaped conv, dense 128 ----------------------------------
     N, H, W, C = args.conv_batch, 48, 48, 128
@@ -155,14 +167,14 @@ def main() -> None:
         bb = jnp.asarray((rng.normal(size=(Mm, Mm)) / np.sqrt(Mm)).astype(np.float32),
                          jnp.bfloat16)
 
-        def mml(x, bb=bb):
+        def mml(x, bb):
             def body(_, c):
                 return jnp.dot(c, bb, preferred_element_type=jnp.float32
                                ).astype(jnp.bfloat16)
             y = jax.lax.fori_loop(0, args.iters, body, x)
             return jnp.sum(y[:1, :1])
 
-        timed(f"matmul_bf16_{Mm}", mml, aa, 2.0 * Mm ** 3)
+        timed(f"matmul_bf16_{Mm}", mml, aa, 2.0 * Mm ** 3, bb)
 
     # the bench conv's im2col GEMM: (N·H·W, 9·C) @ (9·C, C) — what a Pallas
     # direct-chain kernel's MXU work would look like per conv
@@ -173,36 +185,97 @@ def main() -> None:
     bi_back = jnp.asarray((rng.normal(size=(Ni, Ki)) / np.sqrt(Ni)).astype(np.float32),
                           jnp.bfloat16)
 
-    def im2col_loop(x):
+    def im2col_loop(x, bif, bib):
         def body(_, c):
-            y = jnp.dot(c, bi, preferred_element_type=jnp.float32
+            y = jnp.dot(c, bif, preferred_element_type=jnp.float32
                         ).astype(jnp.bfloat16)          # (Mi, Ni)
-            return jnp.dot(y, bi_back, preferred_element_type=jnp.float32
+            return jnp.dot(y, bib, preferred_element_type=jnp.float32
                            ).astype(jnp.bfloat16)       # back to (Mi, Ki)
         y = jax.lax.fori_loop(0, args.iters, body, x)
         return jnp.sum(y[:1, :1])
 
     # two GEMMs per iter: forward-shaped + expand-shaped
     timed("im2col_gemm_pair", im2col_loop, ai,
-          2.0 * Mi * Ki * Ni + 2.0 * Mi * Ni * Ki)
+          2.0 * Mi * Ki * Ni + 2.0 * Mi * Ni * Ki, bi, bi_back)
 
     # --- 5. int8 matmul peak (the 394 TOPS path; serving already uses it) --
     a8 = jnp.asarray(rng.integers(-127, 127, size=(M, M)), jnp.int8)
     b8 = jnp.asarray(rng.integers(-127, 127, size=(M, M)), jnp.int8)
 
-    def mm8(x):
+    def mm8(x, bb8):
         def body(_, c):
             y = jax.lax.dot_general(
-                c, b8, (((1,), (0,)), ((), ())),
+                c, bb8, (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.int32)
             # renormalize to int8 range cheaply (shift) to keep the chain live
             return (y >> 8).astype(jnp.int8)
         y = jax.lax.fori_loop(0, args.iters, body, x)
         return jnp.sum(y[:1, :1])
 
-    timed("matmul_int8_int32acc", mm8, a8, 2.0 * M * M * M)
+    timed("matmul_int8_int32acc", mm8, a8, 2.0 * M * M * M, b8)
 
     print(json.dumps({"summary": results}))
+
+
+def straightline_probe(iters: int = 3, nconvs: int = 50, batch: int = 36,
+                       with_ca: bool = False) -> None:
+    """Straight-line (UNROLLED, no fori_loop) conv-chain timing — the shape
+    XLA's emitter sees in the production step. The fori_loop harness that
+    produced the round-4 micro table (micro_winograd.py timeit) understates
+    XLA conv throughput ~1.8x: the loop boundary defeats cross-conv
+    pipelining. Run via: python scripts/bench/peak_probe.py --straightline
+    """
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    H = W = 48
+    C = 128
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(size=(batch, H, W, C)).astype(np.float32),
+                    jnp.bfloat16)
+    ws = jnp.asarray((rng.normal(size=(nconvs, 3, 3, C, C)) / np.sqrt(9 * C)
+                      ).astype(np.float32), jnp.bfloat16)
+    cw1 = jnp.asarray((rng.normal(size=(nconvs, C, C // 2)) * 0.1
+                       ).astype(np.float32), jnp.bfloat16)
+    cw2 = jnp.asarray((rng.normal(size=(nconvs, C // 2, C)) * 0.1
+                       ).astype(np.float32), jnp.bfloat16)
+    dn = jax.lax.conv_dimension_numbers(x.shape, ws[0].shape,
+                                        ("NHWC", "HWIO", "NHWC"))
+
+    def chain(x0, ws, cw1, cw2):
+        c = x0
+        for i in range(nconvs):
+            y = jax.lax.conv_general_dilated(
+                c, ws[i], (1, 1), [(1, 1), (1, 1)], dimension_numbers=dn,
+                preferred_element_type=jnp.bfloat16)
+            if with_ca and i % 2 == 1:
+                # RCAB channel attention every 2nd conv + block skip
+                m = jnp.mean(y.astype(jnp.float32), axis=(1, 2))
+                g = jax.nn.relu(m @ cw1[i].astype(jnp.float32))
+                g = jax.nn.sigmoid(g @ cw2[i].astype(jnp.float32))
+                c = c + (y.astype(jnp.float32)
+                         * g[:, None, None, :]).astype(jnp.bfloat16)
+            else:
+                c = jax.nn.relu(y)
+        return jnp.sum(c[:1, :1, :1, :1])
+
+    f = jax.jit(chain)
+    import time as _t
+    y = f(x, ws, cw1, cw2)
+    float(np.asarray(y).ravel()[0])
+    best = float("inf")
+    for _ in range(iters):
+        t0 = _t.perf_counter()
+        y = f(x, ws, cw1, cw2)
+        float(np.asarray(y).ravel()[0])
+        best = min(best, _t.perf_counter() - t0)
+    flops = 2.0 * batch * H * W * 9 * C * C * nconvs
+    name = "straightline_group_ca" if with_ca else "straightline_chain"
+    print(json.dumps({name: {
+        "ms_total": round(best * 1e3, 3),
+        "ms_per_conv": round(best * 1e3 / nconvs, 4),
+        "tflops_dense": round(flops / best / 1e12, 1)}}), flush=True)
 
 
 if __name__ == "__main__":

@@ -71,7 +71,14 @@ class ModelTrainer:
         seed = sync_seed(seed)    # hosts must agree (time-based default seed)
         self.mesh = get_mesh(dict(cfg().pipeline.get("mesh", {"data": -1})))
         self.ndata = self.mesh.shape["data"]
-        self.batch_size: int = cfg().task.batch_size
+        if str(cfg().task.batch_size) == "auto":
+            # task.batch_size: auto — resolve the largest HBM-fitting batch
+            # at compile time (AOT memory_analysis; OOM-safe, no dispatch)
+            # and write it back so loaders/iterators see an int
+            # (util/autotune.resolve_auto_batch; VERDICT r4 item #7)
+            from sres_tpu.util.autotune import resolve_auto_batch
+            cfg().task["batch_size"] = resolve_auto_batch(self.mesh)
+        self.batch_size: int = int(cfg().task.batch_size)
         self.pad_size: int = pad_to_multiple(self.batch_size, self.ndata)
 
         self.conform_to_data_grid()

@@ -141,3 +141,69 @@ def step_probe(build_step: Callable[[int], Tuple[Callable, tuple]],
         return compiled_hbm_gb(fn.lower(*sample).compile())
 
     return probe
+
+
+def resolve_auto_batch(mesh, budget_gb: Optional[float] = None,
+                       headroom_gb: Optional[float] = None,
+                       hi: int = 1024) -> int:
+    """Resolve ``task.batch_size: auto`` from the active config: the largest
+    batch (multiple of max(8, mesh data size)) whose compiled TRAIN step fits
+    the HBM budget, found entirely at trace/compile time via AOT
+    ``memory_analysis()`` — no step is dispatched, so the search cannot OOM
+    the device (VERDICT r4 item #7). Budget defaults come from
+    ``pipeline.hbm_budget_gb`` / ``pipeline.hbm_headroom_gb`` when set.
+
+    Builds a throwaway model/optimizer/state from cfg() (temporal features
+    are omitted: their per-batch footprint is a few floats). The resolved
+    value must be written back into ``cfg().task['batch_size']`` by the
+    caller so loaders see an int.
+    """
+    import jax.numpy as jnp
+
+    from sres_tpu.config import cfg
+    from sres_tpu.models import build_model
+    from sres_tpu.trainer.step import (build_optimizer, build_train_step,
+                                       init_state, make_step_config)
+
+    task = cfg().task
+    pipeline = cfg().pipeline
+    if budget_gb is None:
+        budget_gb = float(pipeline.get("hbm_budget_gb", V5E_HBM_GB))
+    if headroom_gb is None:
+        headroom_gb = float(pipeline.get("hbm_headroom_gb",
+                                         DEFAULT_HEADROOM_GB))
+    nin = len(list(task.input_variables))
+    nout = len(list(task.target_variables))
+    precision = pipeline.get("precision", "bf16")
+    model = build_model(cfg().model, nin, nout, precision=precision)
+    optimizer = build_optimizer(task, packed=bool(pipeline.get("packed_opt",
+                                                               False)))
+    tsz = task.tile_size
+    sample_lr = jnp.zeros((1, tsz["y"], tsz["x"], nin), jnp.float32)
+    state, has_bn = init_state(model, optimizer, sample_lr, 0)
+    sc = make_step_config(task, cfg().model, has_bn)
+    step = build_train_step(model, optimizer, sc, mesh)
+    hr_y, hr_x = tsz["y"] * sc.scale, tsz["x"] * sc.scale
+
+    def build_step(batch: int):
+        hr = jnp.zeros((batch, nin, hr_y, hr_x), jnp.float32)
+        w = jnp.ones((batch,), jnp.float32)
+        return step, (state, hr, w)
+
+    ndata = mesh.shape.get("data", 1)
+    quantum = max(8, ndata)
+    batch, gb, probed = max_batch_fit(
+        step_probe(build_step), budget_gb=budget_gb, headroom_gb=headroom_gb,
+        lo=quantum, hi=hi, quantum=quantum)
+    if batch == 0:
+        from sres_tpu.util.hbm import HBMBudgetError
+        raise HBMBudgetError(
+            f"task.batch_size=auto: even batch {quantum} needs {gb:.3f} GB "
+            f"> budget {budget_gb - headroom_gb:.3f} GB — shrink the model "
+            f"or enable model.remat_trunk")
+    from sres_tpu.util.logging import lgm
+    lgm().log(f"task.batch_size=auto resolved to {batch} "
+              f"({probed.get(batch, float('nan')):.3f} GB of "
+              f"{budget_gb:g} GB budget, {len(probed)} compile probes)",
+              display=True)
+    return batch

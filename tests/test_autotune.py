@@ -101,3 +101,49 @@ def test_cli_tiny_real_probe(mode):
     res = json.loads(r.stdout.strip().splitlines()[-1])
     assert res["recommended_batch"] > 0
     assert res["hbm_gb"] <= 1.0
+
+
+def test_task_batch_size_auto_resolves_in_trainer(tmp_path):
+    """task.batch_size: 'auto' (round-5 verdict item #7): ModelTrainer
+    resolves the largest HBM-fitting batch at init via resolve_auto_batch,
+    writes the int back into cfg().task, and the resolved value is
+    self-consistent with the probe machinery (fits the budget; the next
+    lattice point does not, unless the search hit its hi cap)."""
+    from sres_tpu.config import ConfigContext, cfg
+    from sres_tpu.trainer import ModelTrainer
+
+    budget, headroom = 0.15, 0.0
+    over = {
+        "platform.root": str(tmp_path), "pipeline.device": "cpu",
+        "pipeline.precision": "f32",
+        "pipeline.hbm_budget_gb": budget, "pipeline.hbm_headroom_gb": headroom,
+        "dataset.image_size": {"y": 96, "x": 96},
+        "dataset.ntimes": 3, "dataset.nan_fraction": 0.0,
+        "task.tile_size": {"x": 12, "y": 12},
+        "task.batch_size": "auto",
+        "task.ttsplit": {"train": 0.7, "valid": 0.3, "test": 0.0},
+        "model.nfeatures": 8, "model.nlayers": 1,
+    }
+    ConfigContext.set_defaults(platform="local", task="synthetic-tiles-48",
+                               dataset="synthetic", pipeline="sres")
+    with ConfigContext("sres", model="edsr", **over) as cc:
+        trainer = ModelTrainer(cc, seed=0)
+        b = trainer.batch_size
+        assert isinstance(cfg().task.batch_size, int)
+        assert cfg().task.batch_size == b
+        assert b >= 8 and b % 8 == 0
+        # self-consistency: b fits, b+8 does not (or the hi cap was hit)
+        from sres_tpu.util.hbm import compiled_hbm_gb
+        import jax.numpy as jnp
+
+        def gb(batch):
+            hr = jnp.zeros((batch, 1, 48, 48), jnp.float32)
+            w = jnp.ones((batch,), jnp.float32)
+            c = trainer._train_step.lower(trainer.state, hr, w).compile()
+            return compiled_hbm_gb(c)
+
+        assert gb(b) <= budget - headroom
+        if b < 1024:
+            assert gb(b + 8) > budget - headroom
+        # and the trainer actually trains at the resolved batch
+        trainer.train(2, refresh_state=True, seed=0)
