@@ -333,10 +333,18 @@ def main() -> None:
     # where runtime memory_stats() is unavailable (the axon tunnel returns
     # None — round-2 verdict weak #5). Falls back to plain jit dispatch.
     hbm_model_gb = -1.0
+    xla_tflops_per_step = -1.0   # XLA cost_analysis FLOPs of the step
 
     def _aot(fn, *sample):
+        nonlocal xla_tflops_per_step
         from sres_tpu.util.hbm import compiled_hbm_gb
         c = fn.lower(*sample).compile()
+        try:
+            ca = c.cost_analysis()
+            ca = ca[0] if isinstance(ca, (list, tuple)) else ca
+            xla_tflops_per_step = round(float(ca.get("flops", -1e12)) / 1e12, 3)
+        except Exception:
+            pass
         return c, compiled_hbm_gb(c)
 
     if args.serve:
@@ -464,6 +472,16 @@ def main() -> None:
             "windows_tps": windows_tps, "window_policy": "median",
             "precision": precision, "lane_pack": args.lane_pack, "fused": args.fused, "scan": scan, "int8": args.int8, "int8_fused": args.int8_fused, "int8_full": args.int8_full, "winograd": args.winograd, "scan_groups": args.scan_groups, "packed_opt": args.packed_opt, "dispatch": args.dispatch, "step_ms": round(1000 * dt / args.steps, 2),
             "loss": loss_val, "mfu": round(mfu, 4),
+            # XLA-counted FLOPs of the compiled step (includes the 2x
+            # block-diag lane-pack redundancy) and the sustained rate —
+            # against the MEASURED ~182 TF/s bf16 ceiling of this part
+            # (peak_probe.py 16384^3 matmul; the 197 spec is not reachable),
+            # not the spec. PERF.md round-5 close-out.
+            "xla_tflops_per_step": xla_tflops_per_step,
+            "tflops_sustained": (round(xla_tflops_per_step / (dt / args.steps), 1)
+                                 if xla_tflops_per_step > 0 else -1.0),
+            "measured_peak_tflops": {"bf16": 182.0, "int8": 298.2,
+                                     "reproduce": "python scripts/bench/peak_probe.py"},
             "hbm_peak_gb": hbm_peak_gb, "hbm_peak_src": hbm_peak_src,
             # compile-time footprint (args+temp+out-aliased) of the step
             # executable — available even where runtime stats are not
