@@ -494,6 +494,16 @@ def main() -> None:
                 "ours_over_torch_flagship_b36": 0.79,
                 "reproduce": "python scripts/bench/baseline_ab.py",
             },
+            "region_inference_measured": {
+                # on-chip bench --region 16 (3072x3072 HR px, 256 tiles,
+                # full infer_region path incl. host prep + assembled-image
+                # D2H), round 5: sequential vs prefetch-pipelined stream
+                "tiled_s_per_region": 6.82, "tiled_regions_per_min": 8.8,
+                "stream_s_per_region": 4.64, "stream_regions_per_min": 12.93,
+                "stream_tiles_per_s_end_to_end": 55.2,
+                "reproduce": "python bench.py --region 16 "
+                             "[--region-mode stream --steps 3]",
+            },
             "opt_in_int8_measured": {
                 # separately measured on this chip (PERF.md); serving via AQT
                 # (model.quantization=int8) is quality-neutral. NOTE round 3
