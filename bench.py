@@ -492,6 +492,7 @@ def main() -> None:
                 # our compiled step, same single-core CPU, f32 (PERF.md) —
                 # the FLOP-model denominator's measured sensitivity bracket
                 "ours_over_torch_flagship_b36": 0.79,
+                "ours_over_torch_quick_clean_r5": 0.848,
                 "reproduce": "python scripts/bench/baseline_ab.py",
             },
             "region_inference_measured": {
