@@ -436,9 +436,27 @@ def main() -> None:
         hbm_peak_gb, hbm_peak_src = hbm_model_gb, "aot_memory_analysis"
     if hbm_peak_gb < 0:
         hbm_peak_src = "unavailable"
+    hbm_over_budget = False
     if not args.cpu and hbm_peak_gb > 0:
-        from sres_tpu.util.hbm import assert_fits
-        assert_fits(hbm_peak_gb, "bench step", headroom_gb=0.0)
+        from sres_tpu.util.hbm import V5E_HBM_GB, HBMBudgetError, assert_fits
+        try:
+            assert_fits(hbm_peak_gb, "bench step", headroom_gb=0.0)
+        except HBMBudgetError:
+            # Hard red-line ONLY for the scored headline invocation (default
+            # model + batch, no opt-in modes): there the artifact must prove
+            # the budget held. Experimental configs (batch sweeps, alternate
+            # archs) that the device still ran must NOT discard their
+            # measurement after the timed windows — warn on stderr, flag in
+            # the JSON, keep the one-JSON-line contract.
+            headline = (args.model_yaml is None and args.batch in (0, 72)
+                        and not (args.int8 or args.int8_fused or args.int8_full
+                                 or args.winograd or args.scan_groups))
+            if headline:
+                raise
+            hbm_over_budget = True
+            print(f"bench.py: WARNING step footprint {hbm_peak_gb:.2f} GB "
+                  f"exceeds the {V5E_HBM_GB:g} GB budget (non-headline "
+                  f"config — measurement kept)", file=sys.stderr)
 
     import statistics
     # median_high of the dts = the actually-measured window with the median
@@ -483,6 +501,7 @@ def main() -> None:
             "measured_peak_tflops": {"bf16": 182.0, "int8": 298.2,
                                      "reproduce": "python scripts/bench/peak_probe.py"},
             "hbm_peak_gb": hbm_peak_gb, "hbm_peak_src": hbm_peak_src,
+            "hbm_over_budget": hbm_over_budget,
             # compile-time footprint (args+temp+out-aliased) of the step
             # executable — available even where runtime stats are not
             "hbm_model_gb": hbm_model_gb,

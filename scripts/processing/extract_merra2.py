@@ -30,6 +30,10 @@ def main() -> None:
     p.add_argument("--out", default="", help="output file (default MERRA_<ts>.h5)")
     p.add_argument("--nlat", type=int, default=720)
     p.add_argument("--nlon", type=int, default=1440)
+    p.add_argument("--stream", default=None,
+                   help="GES-DISC stream (e.g. MERRA2_401); default infers "
+                        "the decade stream (MERRA2_100/200/300/400) from "
+                        "the date")
     args = p.parse_args()
 
     user = os.environ.get("EDUSER")
@@ -39,7 +43,7 @@ def main() -> None:
     out = args.out or f"MERRA_{args.timestamp}.h5"
     opener = open_url_pydap(user, pswd)
     path = acquire_day(args.timestamp, out, opener,
-                       nlat=args.nlat, nlon=args.nlon)
+                       nlat=args.nlat, nlon=args.nlon, stream=args.stream)
     print(path)
 
 

@@ -80,10 +80,33 @@ def target_grid(nlat: int = 720, nlon: int = 1440) -> Tuple[np.ndarray, np.ndarr
     return np.linspace(-90, 90, nlat), np.linspace(-180, 180, nlon)
 
 
-def get_merra_urls(timestamp: str, stream: str = "MERRA2_401") -> Dict[str, str]:
+def stream_for_date(dtime: _dt.datetime) -> str:
+    """GES-DISC production stream for a date. MERRA2 files are named by the
+    decade-dependent processing stream (100: 1980-91, 200: 1992-2000,
+    300: 2001-10, 400: 2011+); the reference hardcodes one stream and so
+    404s outside its own window. The Jun–Sep 2021 files were reprocessed
+    and republished as the MERRA2_401 sub-stream (the reference's hardcoded
+    choice — its target dates live there); other reprocessed months can be
+    selected with an explicit ``stream=`` override."""
+    y = dtime.year
+    if y <= 1991:
+        return "MERRA2_100"
+    if y <= 2000:
+        return "MERRA2_200"
+    if y <= 2010:
+        return "MERRA2_300"
+    if _dt.datetime(2021, 6, 1) <= dtime <= _dt.datetime(2021, 9, 30):
+        return "MERRA2_401"
+    return "MERRA2_400"
+
+
+def get_merra_urls(timestamp: str, stream: Optional[str] = None) -> Dict[str, str]:
     """{collection key: OPeNDAP url} for a YYYYMMDD[HH] timestamp
-    (reference get_merra_urls: merra2.py:27-37, which returns a 4-tuple)."""
+    (reference get_merra_urls: merra2.py:27-37, which returns a 4-tuple).
+    ``stream=None`` infers the decade stream (:func:`stream_for_date`)."""
     dtime = _dt.datetime.strptime(timestamp[:8], "%Y%m%d")
+    if stream is None:
+        stream = stream_for_date(dtime)
     ym, ymd = dtime.strftime("%Y/%m/"), dtime.strftime("%Y%m%d")
     return {key: f"{c['server']}{c['coll']}/{ym}{stream}.{c['tag']}.{ymd}.nc4"
             for key, c in COLLECTIONS.items()}
@@ -154,10 +177,15 @@ def extract_collections(opener: Callable, urls: Dict[str, str]) -> Dict[str, Dic
 
 def _interp_axis(arr: np.ndarray, src: np.ndarray, dst: np.ndarray,
                  axis: int) -> np.ndarray:
-    """Linear interpolation along one axis of a rectilinear grid (edge
-    clamped, like xarray's default 'linear' with bounds snapping — MERRA2's
-    grid covers the poles so only float-edge rounding hits the clamp)."""
+    """Linear interpolation along one axis of a rectilinear grid. Targets
+    OUTSIDE the source range fill NaN, matching xarray's ``.interp`` default
+    the reference relies on (merra2.py:86-201): e.g. the target lon=180
+    column lies past MERRA2's max lon 179.375, so the reference-produced H5
+    carries a NaN final-longitude column — clamping there would silently
+    diverge from reference-produced files. MERRA2's lat grid covers both
+    poles, so only the lon wrap column is out of range in practice."""
     src = np.asarray(src, np.float64)
+    dst = np.asarray(dst, np.float64)
     pos = np.interp(dst, src, np.arange(len(src), dtype=np.float64))
     i0 = np.clip(np.floor(pos).astype(np.int64), 0, len(src) - 2)
     frac = pos - i0
@@ -166,7 +194,11 @@ def _interp_axis(arr: np.ndarray, src: np.ndarray, dst: np.ndarray,
     shape = [1] * arr.ndim
     shape[axis] = len(dst)
     f = frac.reshape(shape)
-    return a0 * (1.0 - f) + a1 * f
+    out = a0 * (1.0 - f) + a1 * f
+    oob = (dst < src[0]) | (dst > src[-1])
+    if oob.any():
+        out = np.where(oob.reshape(shape), np.nan, out)
+    return out
 
 
 def interp_channels(collections: Dict[str, Dict],
@@ -224,10 +256,12 @@ def fields_to_h5(fields: np.ndarray, times: np.ndarray,
 
 
 def acquire_day(timestamp: str, output_filename: str, opener: Callable,
-                nlat: int = 720, nlon: int = 1440) -> str:
+                nlat: int = 720, nlon: int = 1440,
+                stream: Optional[str] = None) -> str:
     """One day end-to-end: urls → extract → interp → H5 (the reference's
-    extract_merra2.py driver body)."""
-    urls = get_merra_urls(timestamp)
+    extract_merra2.py driver body). ``stream=None`` infers the
+    decade-dependent GES-DISC stream from the date."""
+    urls = get_merra_urls(timestamp, stream=stream)
     colls = extract_collections(opener, urls)
     fields, times = interp_channels(colls, nlat=nlat, nlon=nlon)
     return fields_to_h5(fields, times, output_filename)

@@ -360,48 +360,58 @@ class ModelTrainer:
             lgm().log(f" ----- Epoch {epoch}/{nepochs} nts={nts} ----- ", display=True)
             for itime in range(itime0, nts):
                 ctime = train_times[itime]
-                tile_iter = self._tile_iterator(ctime, randomize=True)
-                self._prefetch_next(train_times, itime)
                 metrics_list = []
-                # profile the first trained timeslice when pipeline.profile
-                from contextlib import nullcontext
-                from sres_tpu.util.diagnostics import profile_trace
-                prof = profile_trace("train") if (epoch == epoch0 and itime == itime0) \
-                    else nullcontext()
-                with prof:
-                    staged = []
-                    batch_stream = iter_pipelined(
-                        self._make_batch_producer(ctime), iter(tile_iter),
-                        self.input_backend, self.input_depth, self.input_workers)
-                    for hr, weight, nvalid in batch_stream:
-                        if self.steps_per_dispatch == 1:
-                            self.state, metrics = self._run_train_step(hr, weight, ctime)
-                            metrics_list.append(metrics)
-                        else:
-                            staged.append((hr, weight))
-                            if len(staged) == self.steps_per_dispatch:
-                                self.state, metrics = self._run_multi_step(staged, ctime)
+                # loader_lock held for the whole timeslice: _tile_iterator's
+                # load_timeslice sets the loader's current-slice pointer and
+                # every select_batch below reads it — a live
+                # infer_region_stream prefetch worker moving the pointer
+                # mid-slice would silently train on wrong-slice tiles. The
+                # iter_pipelined worker threads run produce() WITHOUT taking
+                # the lock (they belong to this critical section; taking it
+                # would deadlock against this holder), and prefetch_timeslice
+                # only touches the cache (own lock), never the pointer.
+                with self.loader_lock:
+                    tile_iter = self._tile_iterator(ctime, randomize=True)
+                    self._prefetch_next(train_times, itime)
+                    # profile the first trained timeslice when pipeline.profile
+                    from contextlib import nullcontext
+                    from sres_tpu.util.diagnostics import profile_trace
+                    prof = profile_trace("train") if (epoch == epoch0 and itime == itime0) \
+                        else nullcontext()
+                    with prof:
+                        staged = []
+                        batch_stream = iter_pipelined(
+                            self._make_batch_producer(ctime), iter(tile_iter),
+                            self.input_backend, self.input_depth, self.input_workers)
+                        for hr, weight, nvalid in batch_stream:
+                            if self.steps_per_dispatch == 1:
+                                self.state, metrics = self._run_train_step(hr, weight, ctime)
                                 metrics_list.append(metrics)
-                                staged = []
-                    if staged and self.grad_accum > 1:
-                        # ragged tail under gradient accumulation: pad to K with
-                        # zero-weight micro-batches (inert by construction in
-                        # build_accum_train_step) so the one-update-per-K
-                        # large-effective-batch semantics holds; per-batch
-                        # dispatch here would apply up to K-1 full-LR updates
-                        nreal = len(staged)
-                        hr0, w0 = staged[0]
-                        staged += [(np.zeros_like(hr0), np.zeros_like(w0))] * \
-                                  (self.steps_per_dispatch - nreal)
-                        self.state, metrics = self._run_multi_step(staged, ctime)
-                        metrics_list.append({k: v[:nreal] for k, v in metrics.items()})
-                    else:
-                        # ragged tail (< K batches left) in scanned-dispatch
-                        # mode: per-batch dispatches are semantically identical
-                        # there, so the scanned program compiles for exactly one K
-                        for hr, weight in staged:
-                            self.state, metrics = self._run_train_step(hr, weight, ctime)
-                            metrics_list.append(metrics)
+                            else:
+                                staged.append((hr, weight))
+                                if len(staged) == self.steps_per_dispatch:
+                                    self.state, metrics = self._run_multi_step(staged, ctime)
+                                    metrics_list.append(metrics)
+                                    staged = []
+                        if staged and self.grad_accum > 1:
+                            # ragged tail under gradient accumulation: pad to K with
+                            # zero-weight micro-batches (inert by construction in
+                            # build_accum_train_step) so the one-update-per-K
+                            # large-effective-batch semantics holds; per-batch
+                            # dispatch here would apply up to K-1 full-LR updates
+                            nreal = len(staged)
+                            hr0, w0 = staged[0]
+                            staged += [(np.zeros_like(hr0), np.zeros_like(w0))] * \
+                                      (self.steps_per_dispatch - nreal)
+                            self.state, metrics = self._run_multi_step(staged, ctime)
+                            metrics_list.append({k: v[:nreal] for k, v in metrics.items()})
+                        else:
+                            # ragged tail (< K batches left) in scanned-dispatch
+                            # mode: per-batch dispatches are semantically identical
+                            # there, so the scanned program compiles for exactly one K
+                            for hr, weight in staged:
+                                self.state, metrics = self._run_train_step(hr, weight, ctime)
+                                metrics_list.append(metrics)
                 m = self._metrics_to_host(metrics_list)
                 if len(m.get("sloss", ())) == 0:
                     continue
@@ -863,27 +873,30 @@ class ModelTrainer:
             if meta and "state" in meta:
                 self.state = meta["state"]
 
-        region = self.dataset.load_region_data(ctime)           # (C, Y, X) raw
-        grid = self.dataset.tile_grid
-        ishape = dict(c=region.shape[0], y=region.shape[1], x=region.shape[2])
-        gs = grid.get_grid_shape(image_shape=ishape)
-        roi = grid.get_active_region(image_shape=ishape)
-        active = region.data[:, roi["y"][0]:roi["y"][1], roi["x"][0]:roi["x"][1]]
-        ts_hr = grid.get_full_tile_size()
-        tiles, ids = extract_overlapped_tiles(active, ts_hr, gs, margin)
-        if tiles.shape[0] == 0:
-            return {}
-        sidecar_stats = global_stats = None
-        if ntype in ("tnorm", "tscale", "gnorm", "gscale"):
-            loader = self.dataset.srbatch.data_loader
-            if ntype in ("tnorm", "tscale"):
-                sidecar_stats = loader.sidecar.get(loader._timeslice_iter)
-                nrows = next(iter(sidecar_stats.values())).shape[0]
-                assert tiles.shape[0] == nrows, \
-                    (f"region valid-tile count {tiles.shape[0]} != sidecar "
-                     f"rows {nrows}: the NaN mask is not static")
-            else:
-                global_stats = loader.sidecar.global_stats(loader._timeslice_iter)
+        # loader_lock: region read + lazy sidecar compute serialize with a
+        # live infer_region_stream prefetch worker (shared loader/sidecar)
+        with self.loader_lock:
+            region = self.dataset.load_region_data(ctime)       # (C, Y, X) raw
+            grid = self.dataset.tile_grid
+            ishape = dict(c=region.shape[0], y=region.shape[1], x=region.shape[2])
+            gs = grid.get_grid_shape(image_shape=ishape)
+            roi = grid.get_active_region(image_shape=ishape)
+            active = region.data[:, roi["y"][0]:roi["y"][1], roi["x"][0]:roi["x"][1]]
+            ts_hr = grid.get_full_tile_size()
+            tiles, ids = extract_overlapped_tiles(active, ts_hr, gs, margin)
+            if tiles.shape[0] == 0:
+                return {}
+            sidecar_stats = global_stats = None
+            if ntype in ("tnorm", "tscale", "gnorm", "gscale"):
+                loader = self.dataset.srbatch.data_loader
+                if ntype in ("tnorm", "tscale"):
+                    sidecar_stats = loader.sidecar.get(loader._timeslice_iter)
+                    nrows = next(iter(sidecar_stats.values())).shape[0]
+                    assert tiles.shape[0] == nrows, \
+                        (f"region valid-tile count {tiles.shape[0]} != sidecar "
+                         f"rows {nrows}: the NaN mask is not static")
+                else:
+                    global_stats = loader.sidecar.global_stats(loader._timeslice_iter)
         normed, stats = normalize_batch(tiles, ntype, (0, tiles.shape[0]),
                                         sidecar_stats, global_stats,
                                         list(self.input_variables))
@@ -945,7 +958,17 @@ class ModelTrainer:
             if meta and "state" in meta:
                 self.state = meta["state"]
 
-        region = self.dataset.load_region_data(ctime)           # (C, Y, X) raw
+        # loader_lock: region read + lazy sidecar compute (in the norm
+        # branches below, resolved before any device work) serialize with a
+        # live infer_region_stream prefetch worker (shared loader/sidecar)
+        with self.loader_lock:
+            region = self.dataset.load_region_data(ctime)       # (C, Y, X) raw
+            if cfg().task.norm in ("tnorm", "tscale"):
+                loader = self.dataset.srbatch.data_loader
+                loader.sidecar.get(loader._timeslice_iter)
+            elif cfg().task.norm in ("gnorm", "gscale"):
+                loader = self.dataset.srbatch.data_loader
+                loader.sidecar.global_stats(loader._timeslice_iter)
         grid = self.dataset.tile_grid
         ishape = dict(c=region.shape[0], y=region.shape[1], x=region.shape[2])
         roi = grid.get_active_region(image_shape=ishape)

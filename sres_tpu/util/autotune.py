@@ -182,16 +182,36 @@ def resolve_auto_batch(mesh, budget_gb: Optional[float] = None,
     sample_lr = jnp.zeros((1, tsz["y"], tsz["x"], nin), jnp.float32)
     state, has_bn = init_state(model, optimizer, sample_lr, 0)
     sc = make_step_config(task, cfg().model, has_bn)
-    step = build_train_step(model, optimizer, sc, mesh)
+    # Probe the SAME program the trainer will dispatch: shard_map,
+    # steps_per_dispatch (scanned K-step) and grad_accum (K micro-batch)
+    # modes stage K extra input batches and carry different donated layouts,
+    # so probing the plain single-step executable would resolve a batch
+    # that OOMs the real dispatch (mirrors ModelTrainer.__init__).
+    smap = bool(pipeline.get("shard_map", False))
+    spd = max(1, int(pipeline.get("steps_per_dispatch", 1)))
+    accum = max(1, int(pipeline.get("grad_accum", 1)))
+    K = max(spd, accum)
+    if K > 1:
+        from sres_tpu.trainer.step import (build_accum_train_step,
+                                           build_multi_train_step)
+        builder = build_accum_train_step if accum > 1 else build_multi_train_step
+        step = builder(model, optimizer, sc, mesh, smap=smap)
+    else:
+        step = build_train_step(model, optimizer, sc, mesh, smap=smap)
     hr_y, hr_x = tsz["y"] * sc.scale, tsz["x"] * sc.scale
 
     def build_step(batch: int):
-        hr = jnp.zeros((batch, nin, hr_y, hr_x), jnp.float32)
-        w = jnp.ones((batch,), jnp.float32)
+        bshape = (K, batch) if K > 1 else (batch,)
+        hr = jnp.zeros(bshape + (nin, hr_y, hr_x), jnp.float32)
+        w = jnp.ones(bshape, jnp.float32)
         return step, (state, hr, w)
 
+    import math as _math
     ndata = mesh.shape.get("data", 1)
-    quantum = max(8, ndata)
+    # multiple of BOTH the 8-lattice and the data-mesh size: every probed
+    # batch must shard evenly over the 'data' axis (ndata=6 would otherwise
+    # probe indivisible batches and die on a sharding error, not an OOM)
+    quantum = _math.lcm(8, ndata)
     batch, gb, probed = max_batch_fit(
         step_probe(build_step), budget_gb=budget_gb, headroom_gb=headroom_gb,
         lo=quantum, hi=hi, quantum=quantum)

@@ -94,7 +94,6 @@ class LogManager:
         if display:
             # SRES_LOG_TO_STDERR=1: keep stdout clean for CLIs with a
             # machine-readable stdout contract (bench.py's one JSON line)
-            import os
             out = sys.stderr if os.environ.get("SRES_LOG_TO_STDERR") == "1" else sys.stdout
             print(msg, flush=True, end=end, file=out)
 

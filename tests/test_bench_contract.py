@@ -110,6 +110,9 @@ def test_bench_reports_hbm_and_flop_transparency():
     d = json.loads(r.stdout.strip().splitlines()[-1])["detail"]
     assert d["hbm_peak_gb"] > 0
     assert d["hbm_peak_src"] in ("memory_stats", "aot_memory_analysis")
+    # red-line transparency: over-budget non-headline runs keep their
+    # measurement and flag it; the tiny config must be within budget
+    assert d["hbm_over_budget"] is False
     assert d["xla_tflops_per_step"] > 0
     # rounds to 0.0 at the tiny CPU config; the field must exist and be
     # non-negative (the real value is asserted by eye in BENCH_r05)

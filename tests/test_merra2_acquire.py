@@ -55,6 +55,8 @@ def _opener(url, variables):
 
 
 def test_urls_match_reference_layout():
+    # 2021-08-29 sits in the Jun-Sep 2021 reprocessing window, so the
+    # inferred default stream equals the reference's hardcoded MERRA2_401
     urls = get_merra_urls("20210829")
     assert urls["surface"] == ("https://goldsmr4.gesdisc.eosdis.nasa.gov/opendap/"
                                "MERRA2/M2I1NXASM.5.12.4/2021/08/"
@@ -64,6 +66,20 @@ def test_urls_match_reference_layout():
     assert "M2I6NPANA" in urls["h"] and "tavg1_2d_int_Nx" in urls["tcwv"]
     # HH suffix tolerated like the reference's YYYYMMDDHH timestamps
     assert get_merra_urls("2021082906") == urls
+
+
+def test_stream_inference_and_override():
+    """Decade-dependent GES-DISC streams: the reference hardcodes one stream
+    and 404s outside its window; the default here follows the publication
+    layout, with an explicit override for reprocessed sub-streams."""
+    assert "MERRA2_100.inst1" in get_merra_urls("19850701")["surface"]
+    assert "MERRA2_200.inst1" in get_merra_urls("19950315")["surface"]
+    assert "MERRA2_300.inst1" in get_merra_urls("20050315")["surface"]
+    assert "MERRA2_400.inst1" in get_merra_urls("20150315")["surface"]
+    assert "MERRA2_400.inst1" in get_merra_urls("20210501")["surface"]
+    assert "MERRA2_401.inst1" in get_merra_urls("20210715")["surface"]
+    assert "MERRA2_401.inst1" in get_merra_urls(
+        "20150315", stream="MERRA2_401")["surface"]
 
 
 def test_extract_subsets_times_and_levels():
@@ -99,26 +115,37 @@ def test_interp_channels_values_and_itcwv():
     src_lat, src_lon = _src_grid()
 
     def ref_bilinear(arr2d):
-        """Independent bilinear reference on the rectilinear grid."""
+        """Independent bilinear reference on the rectilinear grid; targets
+        beyond the source range are NaN (xarray .interp semantics the
+        reference relies on — the lon=180 column lies past MERRA2's max
+        179.375)."""
         out = np.empty((NLAT, NLON))
         for yi, yv in enumerate(lat):
             row = np.array([np.interp(yv, src_lat, arr2d[:, xi])
                             for xi in range(arr2d.shape[1])])
             out[yi] = np.interp(lon, src_lon, row)
+        out[:, (lon < src_lon[0]) | (lon > src_lon[-1])] = np.nan
+        out[(lat < src_lat[0]) | (lat > src_lat[-1]), :] = np.nan
         return out
 
     # a surface channel (U10M is channel 0)
     exp = ref_bilinear(colls["surface"]["vars"]["U10M"][0])
-    np.testing.assert_allclose(fields[0, 0], exp, rtol=1e-6)
+    np.testing.assert_allclose(fields[0, 0], exp, rtol=1e-6, equal_nan=True)
     # a pressure-level channel: H at 500 is channel 16
     h = colls["h"]
     li = list(h["coords"]["lev"]).index(500)
     exp = ref_bilinear(h["vars"]["H"][0, li])
-    np.testing.assert_allclose(fields[0, 16], exp, rtol=1e-6)
+    np.testing.assert_allclose(fields[0, 16], exp, rtol=1e-6, equal_nan=True)
     # ITCWV (channel 19): six-term DQVDT sum, then interp
     tc = colls["tcwv"]
     raw = sum(tc["vars"][v] for v in COLLECTIONS["tcwv"]["variables"])
-    np.testing.assert_allclose(fields[0, 19], ref_bilinear(raw[0]), rtol=1e-6)
+    np.testing.assert_allclose(fields[0, 19], ref_bilinear(raw[0]), rtol=1e-6,
+                               equal_nan=True)
+    # exactly the out-of-range lon wrap column is NaN, everything else finite
+    oob = (lon < src_lon[0]) | (lon > src_lon[-1])
+    assert oob.sum() == 1 and oob[-1]
+    assert np.isnan(fields[:, :, :, oob]).all()
+    assert np.isfinite(fields[:, :, :, ~oob]).all()
 
 
 def test_tavg_time_misalignment_raises():
@@ -144,7 +171,10 @@ def test_acquire_day_writes_fields_h5(tmp_path):
         fields = np.asarray(f["fields"])
         t = np.asarray(f["time"])
     assert fields.shape == (4, 20, NLAT, NLON)
-    assert np.isfinite(fields).all()
+    # the lon=180 wrap column is NaN (past MERRA2's max lon, xarray
+    # semantics); every in-range pixel is finite
+    assert np.isfinite(fields[..., :-1]).all()
+    assert np.isnan(fields[..., -1]).all()
     assert t.shape == (4,) and t[1] - t[0] == 6 * 3600
 
     # hand-off: the yearly-H5 datapipe reads a directory of such files
